@@ -1,0 +1,189 @@
+"""Vectorized per-turn extraction — the engine's hot path.
+
+Replaces the reference's per-document synchronous worker
+(/root/reference/app.py:697-735 process_ocr_document and its callees)
+with Arrow-batched pandas UDFs over the transcripts table. Extraction is
+per-turn embarrassingly parallel: **no shuffle is needed or introduced**
+— ``mapInPandas`` runs on the scan partitions as-is, and only the
+optional per-conversation assembly (operators/assemble.py) shuffles.
+
+Zero per-row Python at the Spark level (no ``F.udf`` anywhere): batches
+cross the JVM↔Python boundary as Arrow record batches
+(spark.sql.execution.arrow.* — see session.py), and the per-kind parsers
+(functions/*) run on pandas Series inside the worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import html_strip, markdown as md, spans as sp
+from ..functions.classify import (
+    KIND_BASE64,
+    KIND_DOC,
+    KIND_EMPTY,
+    KIND_HTML,
+    KIND_MARKDOWN,
+    KIND_SPANS,
+    classify_payload,
+)
+
+# per-turn extraction output (input cols passed through + derived cols)
+EXTRACT_FIELDS = [
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("n_refs", T.IntegerType()),
+    T.StructField("n_images", T.IntegerType()),
+    T.StructField("n_rewritten", T.IntegerType()),
+    T.StructField("n_spans", T.IntegerType()),
+    T.StructField("valid", T.BooleanType()),
+]
+EXTRACT_SCHEMA = T.StructType(EXTRACT_FIELDS)
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("page", T.IntegerType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+
+def _extract_one(text: str | None, tool: str | None, turn_idx: int) -> tuple:
+    """(kind, extracted_text, n_refs, n_images, n_rewritten, n_spans, valid)."""
+    if tool:
+        spans = sp.parse_span_source(tool)
+        return (
+            KIND_SPANS,
+            sp.spans_to_text(spans),
+            0,
+            sum(1 for s in spans if s["kind"] == "image"),
+            0,
+            len(spans),
+            True,
+        )
+    kind = classify_payload(text)
+    if kind == KIND_EMPTY:
+        return (kind, "", 0, 0, 0, 0, True)
+    if kind == KIND_MARKDOWN:
+        new_md, n_refs, n_imgs, n_upd = md.rewrite_markdown_links(text, turn_idx)
+        return (kind, new_md, n_refs, n_imgs, n_upd, 0, True)
+    if kind == KIND_DOC:
+        combined, n_imgs, n_empty = md.extract_mock_document(text)
+        return (kind, combined, 0, n_imgs, n_empty, 0, True)
+    if kind == KIND_HTML:
+        return (kind, html_strip.strip_boilerplate(text), 0, 0, 0, 0, True)
+    # base64 image payload
+    parsed = md.parse_base64_payload(text)
+    if parsed["valid"]:
+        return (kind, f"[image {parsed['format']} {parsed['size']}B]", 0, 1, 0, 0, True)
+    return (kind, "[invalid image]", 0, 0, 0, 0, False)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        out = {k: [None] * n for k in (
+            "kind", "extracted_text", "n_refs", "n_images",
+            "n_rewritten", "n_spans", "valid",
+        )}
+        texts = pdf["text"].to_numpy()
+        tools = pdf["tool"].to_numpy()
+        idxs = pdf["turn_idx"].to_numpy()
+        for i in range(n):
+            row = _extract_one(texts[i], tools[i], int(idxs[i]))
+            (
+                out["kind"][i],
+                out["extracted_text"][i],
+                out["n_refs"][i],
+                out["n_images"][i],
+                out["n_rewritten"][i],
+                out["n_spans"][i],
+                out["valid"][i],
+            ) = row
+        res = pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "role": pdf["role"],
+                "ts": pdf["ts"],
+                "kind": pd.Series(out["kind"], index=pdf.index),
+                "extracted_text": pd.Series(out["extracted_text"], index=pdf.index),
+                "n_refs": pd.Series(out["n_refs"], index=pdf.index, dtype="int32"),
+                "n_images": pd.Series(out["n_images"], index=pdf.index, dtype="int32"),
+                "n_rewritten": pd.Series(out["n_rewritten"], index=pdf.index, dtype="int32"),
+                "n_spans": pd.Series(out["n_spans"], index=pdf.index, dtype="int32"),
+                "valid": pd.Series(out["valid"], index=pdf.index, dtype="bool"),
+            }
+        )
+        yield res
+
+
+def extract_turns(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → per-turn
+    extraction output (EXTRACT_SCHEMA). Narrow (no shuffle)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return transcripts.select(*cols).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+
+
+@F.pandas_udf(T.ArrayType(SPAN_STRUCT))
+def parse_spans_udf(tool: pd.Series) -> pd.Series:
+    """V3 — span-source payload → ordered span structs (app.py:273-360
+    analog). Scalar pandas UDF: Arrow in, Arrow out."""
+    return tool.map(lambda t: sp.parse_span_source(t) if t else [])
+
+
+def extract_spans(transcripts: DataFrame) -> DataFrame:
+    """Rows with a span-source payload → (conv_id, turn_idx, spans[])."""
+    return (
+        transcripts.filter((F.col("tool").isNotNull()) & (F.col("tool") != ""))
+        .select(
+            "conv_id",
+            "turn_idx",
+            parse_spans_udf(F.col("tool")).alias("spans"),
+        )
+    )
+
+
+def exploded_spans(transcripts: DataFrame) -> DataFrame:
+    """Relational span view: one row per span, reading order preserved by
+    (conv_id, turn_idx, page, span_idx)."""
+    return (
+        extract_spans(transcripts)
+        .select("conv_id", "turn_idx", F.explode("spans").alias("s"))
+        .select("conv_id", "turn_idx", "s.*")
+    )
+
+
+@F.pandas_udf(T.StringType())
+def strip_html_udf(html: pd.Series) -> pd.Series:
+    """V2 — north-rule HTML boilerplate stripper as a scalar pandas UDF."""
+    return html.map(lambda h: html_strip.strip_boilerplate(h) if h else "")
+
+
+@F.pandas_udf(T.StringType())
+def rewrite_markdown_udf(text: pd.Series, turn_idx: pd.Series) -> pd.Series:
+    """V1 — markdown link rewrite (first-occurrence-only, app.py:64-115)."""
+    return pd.Series(
+        [
+            md.rewrite_markdown_links(t or "", int(i))[0]
+            for t, i in zip(text, turn_idx)
+        ],
+        index=text.index,
+    )

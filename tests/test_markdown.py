@@ -1,0 +1,128 @@
+"""Differential tests: engine (functions/markdown) vs golden transcription
+(fixtures/golden) on the reference's markdown/link/base64 semantics."""
+
+import base64
+
+import numpy as np
+import pytest
+
+from mistral_ocr_app_spark.fixtures import golden as g
+from mistral_ocr_app_spark.fixtures.transcripts import (
+    _base64_payload,
+    _doc_payload,
+    _markdown_payload,
+)
+from mistral_ocr_app_spark.functions import markdown as md
+
+EDGE_MARKDOWN = [
+    "",
+    "no images here",
+    "![](img-0.jpeg)",
+    "![alt](img-1.jpg) text ![alt](img-1.jpg)",  # duplicate → first-occurrence
+    "![a](fig.png) ![b](img-0.jpeg)",  # non-strict first, strict second
+    "![x](IMG-3.JPEG)",  # case-insensitive match
+    "![n](photo.webp)![m](photo.gif)",
+    "text ![a](dir/img-2.jpeg) more",  # path separator in ref → id normalize
+    "![brackets [not] closed](img-0.jpeg)",  # alt can't contain ], pattern shifts
+    "![a](img-9.jpeg)" * 3,  # three identical refs
+    "![a](noext)",  # no image extension → not a ref
+]
+
+
+@pytest.mark.parametrize("text", EDGE_MARKDOWN)
+def test_rewrite_matches_golden_edges(text):
+    for idx in (0, 1, 7):
+        eng = md.rewrite_markdown_links(text, idx)
+        gold = g.golden_update_markdown_links(text, idx)
+        assert eng == gold
+
+
+def test_rewrite_matches_golden_random_corpus():
+    rng = np.random.RandomState(7)
+    for i in range(300):
+        text = _markdown_payload(rng)
+        assert md.rewrite_markdown_links(text, i % 11) == g.golden_update_markdown_links(
+            text, i % 11
+        )
+
+
+def test_extract_refs_shape():
+    refs = md.extract_images_from_markdown("![a](img-0.jpeg) ![b](x/y.png)", 2)
+    assert [r["id"] for r in refs] == ["img-0_jpeg", "x_y_png"]
+    assert refs[0]["filename"] == "page_2_extracted_img-0_jpeg.jpeg"
+    assert refs[1]["markdown_pattern"] == "![b](x/y.png)"
+
+
+def test_first_occurrence_only_semantics():
+    text = "![a](img-0.jpeg) mid ![a](img-0.jpeg)"
+    out, n_refs, n_imgs, n_upd = md.rewrite_markdown_links(text, 0)
+    # both refs found, both have api images, rewrites proceed left-to-right
+    assert n_refs == 2 and n_upd == 2
+    assert out.count("/image/") == 2
+    assert "![a](img-0.jpeg)" not in out
+
+
+def test_mock_document_extraction_matches_golden():
+    rng = np.random.RandomState(11)
+    for _ in range(50):
+        payload = _doc_payload(rng)
+        eng_text, eng_imgs, eng_empty = md.extract_mock_document(payload)
+        gold = g.golden_extract_turn(payload, "", 0)
+        assert eng_text == gold["extracted_text"]
+        assert eng_imgs == gold["n_images"]
+        assert eng_empty == gold["n_rewritten"]
+
+
+def test_cli_variant_replace_all():
+    pages = [
+        {"markdown": "![img-0.jpeg](img-0.jpeg) and ![img-0.jpeg](img-0.jpeg)",
+         "images": [{"id": "img-0.jpeg", "image_base64": "B64"}]},
+        {"markdown": "plain", "images": []},
+    ]
+    import json
+
+    payload = json.dumps({"pages": pages})
+    out = md.extract_mock_document_cli(payload)
+    assert out == g.golden_combined_markdown_cli(pages)
+    assert out.count("![img-0.jpeg](B64)") == 2  # replace-ALL (main.py:37-40)
+    assert out.endswith("\n\nplain")
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        "",
+        "data:image/png;base64," + base64.b64encode(b"x" * 100).decode(),
+        base64.b64encode(b"y" * 49).decode(),  # decoded < 50 → invalid
+        base64.b64encode(b"y" * 50).decode(),  # boundary: exactly 50 → valid
+        "data:image/jpeg;base64,%%%bad%%%",
+        base64.b64encode(b"z" * 30).decode() + "=",  # broken padding
+    ],
+)
+def test_base64_matches_golden(payload):
+    eng = md.parse_base64_payload(payload)
+    gold = g.golden_base64(payload)
+    if gold is None:
+        assert not eng["valid"]
+    else:
+        assert eng["valid"]
+        assert eng["format"] == gold["format"]
+        assert eng["size"] == gold["size"]
+
+
+def test_base64_random_corpus():
+    rng = np.random.RandomState(13)
+    for _ in range(100):
+        payload = _base64_payload(rng)
+        eng = md.parse_base64_payload(payload)
+        gold = g.golden_base64(payload)
+        assert eng["valid"] == (gold is not None)
+
+
+def test_combine_pages_variants():
+    pages = [(0, "alpha"), (1, "beta")]
+    assert md.combine_pages_app(pages) == (
+        "# Страница 1\n\nalpha\n\n---\n\n# Страница 2\n\nbeta"
+    )
+    assert md.combine_pages_cli(["alpha", "beta"]) == "alpha\n\nbeta"
+    assert md.combine_pages_app(pages) == g.golden_combine_pages_app(pages)
