@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` / ``oracle_sql()`` — the operator catalog from
+``mistral_ocr_app_spark.operators.catalog`` (SURVEY.md §2 coverage +
+corpus-scale dedup/similarity/text-analysis ops), each Spark query paired
+with an independent DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mistral_ocr_app_spark.operators import catalog  # noqa: E402
+from mistral_ocr_app_spark.operators.assemble import assemble_conversations  # noqa: E402
+from mistral_ocr_app_spark.operators.extract import extract_turns  # noqa: E402
+from mistral_ocr_app_spark.operators.pipeline_queries import derive_transcripts  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → derived transcripts → vectorized per-turn
+    extraction (HTML strip + markdown link rewrite) → ordered
+    per-conversation assembly (both joiner variants)."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    transcripts = derive_transcripts(docs)
+    return assemble_conversations(extract_turns(transcripts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return catalog.oracle_sql()

@@ -1,0 +1,1049 @@
+"""Relational operator catalog — SURVEY.md §2 re-expressed over the
+driver testdata tables, each with a DuckDB oracle SQL twin.
+
+Every entry is registered as ``name → (spark_fn, oracle_sql)``:
+``spark_fn(spark, sf_dir) -> DataFrame`` builds the idiomatic-Spark plan;
+``oracle_sql`` is independent ANSI SQL DuckDB runs on the same parquet.
+Column names/types are aligned on both sides (the driver's value-hash
+sorts columns by name); floating aggregates are rounded on both sides to
+absorb summation-order differences.
+
+Operator ids in the docstrings refer to SURVEY.md §2 rows, which in turn
+cite /root/reference/ file:line for the behavior being mirrored.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible, driver does rows-only check
+    doc: str = ""
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.1 scans / sources / sinks
+# =====================================================================
+
+
+@register(
+    "s1_scan_project_filter",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 200 AND lang <> 'zh'
+    """,
+    "S1: pruned/pushed-down scan (projection + predicate reach parquet)",
+)
+def s1_scan_project_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter((F.col("n_chars") > 200) & (F.col("lang") != "zh"))
+    )
+
+
+@register(
+    "s3_gdrive_url_rewrite",
+    """
+    SELECT doc_id,
+           'https://drive.google.com/uc?export=download&id=f' ||
+             CAST(doc_id AS VARCHAR) AS direct_url
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    "S3: drive.google.com/file/d/<id> → uc?export=download (app.py:362-376)",
+)
+def s3_gdrive_url_rewrite(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    url = F.concat(
+        F.lit("https://drive.google.com/file/d/f"),
+        F.col("doc_id").cast("string"),
+        F.lit("/view"),
+    )
+    file_id = F.regexp_extract(url, r"/file/d/([^/]+)", 1)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://drive.google.com/uc?export=download&id="), file_id
+        ).alias("direct_url"),
+    )
+
+
+@register(
+    "s9_json_projection",
+    """
+    SELECT doc_id,
+           '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"}'
+             AS meta_json
+    FROM documents WHERE doc_id < 100
+    """,
+    "S9: payload-dropping JSON metadata projection (app.py:829-841)",
+)
+def s9_json_projection(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.to_json(F.struct(F.col("doc_id"), F.col("lang"))).alias("meta_json"),
+        )
+    )
+
+
+@register(
+    "s11_svg_placeholder",
+    """
+    SELECT p_partkey,
+           '<svg width="' || CAST(p_size * 10 AS VARCHAR) || '" height="' ||
+             CAST(p_size * 5 AS VARCHAR) || '"><text>' || p_name ||
+             '</text></svg>' AS svg
+    FROM part WHERE p_size >= 30
+    """,
+    "S11: templated SVG synthesis as a column expr (app.py:248-271)",
+)
+def s11_svg_placeholder(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 30)
+        .select(
+            "p_partkey",
+            F.format_string(
+                '<svg width="%d" height="%d"><text>%s</text></svg>',
+                F.col("p_size") * 10,
+                F.col("p_size") * 5,
+                F.col("p_name"),
+            ).alias("svg"),
+        )
+    )
+
+
+# =====================================================================
+# §2.2 projections / filters
+# =====================================================================
+
+
+@register(
+    "f1_extension_allowlist",
+    """
+    WITH named AS (
+      SELECT doc_id,
+             'doc_' || CAST(doc_id AS VARCHAR) ||
+             CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.PNG'
+                  WHEN 2 THEN '.jpg' WHEN 3 THEN '.txt' ELSE '.docx' END AS fname
+      FROM documents)
+    SELECT doc_id, fname FROM named
+    WHERE lower(regexp_extract(fname, '\\.([^.]+)$', 1))
+          IN ('pdf','png','jpg','jpeg','docx')
+    """,
+    "F1: extension allow-list on lowercase rsplit (app.py:54-57)",
+)
+def f1_extension_allowlist(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.lit("doc_"),
+        F.col("doc_id").cast("string"),
+        F.element_at(
+            F.array(F.lit(".pdf"), F.lit(".PNG"), F.lit(".jpg"), F.lit(".txt"), F.lit(".docx")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+    )
+    named = docs.select("doc_id", fname.alias("fname"))
+    ext = F.lower(F.substring_index(F.col("fname"), ".", -1))
+    return named.filter(ext.isin("pdf", "png", "jpg", "jpeg", "docx"))
+
+
+@register(
+    "f2_size_guard",
+    """
+    SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents
+    WHERE strlen(text) <= 400
+    """,
+    "F2: max-size guard (app.py:44,393-395; 50 MB → 400 B stand-in)",
+)
+def f2_size_guard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.octet_length("text").cast("int").alias("n_bytes")
+    ).filter(F.octet_length("text") <= 400)
+
+
+@register(
+    "f3_small_payload_flags",
+    """
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE length(text) < 100) AS BIGINT) AS n_small,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY lang
+    """,
+    "F3/A3: suspicious-size census (app.py:156-158,204-206 thresholds)",
+)
+def f3_small_payload_flags(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.length("text") < 100).alias("n_small"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@register(
+    "f7_has_items_predicate",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 6))
+                AS INT) AS n_long_words
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 6)) > 0
+      AND doc_id % 2 = 0
+    """,
+    "F7: size(array)>0 / exists() predicate over an array column (app.py:540,689)",
+)
+def f7_has_items_predicate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    long_words = F.filter(F.split("text", " "), lambda w: F.length(w) > 6)
+    return docs.select(
+        "doc_id", F.size(long_words).cast("int").alias("n_long_words")
+    ).filter(F.size(long_words) > 0)
+
+
+@register(
+    "p2_payload_dropping_projection",
+    """
+    SELECT doc_id,
+           list_aggr(list_transform(string_split(text, ' ')[1:3], w -> upper(w)),
+                     'string_agg', '|') AS head_upper
+    FROM documents WHERE doc_id < 200
+    """,
+    "P2: array-of-struct payload-dropping transform() (app.py:831-838)",
+)
+def p2_payload_dropping_projection(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    head = F.slice(F.split("text", " "), 1, 3)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(head, lambda w: F.upper(w)), "|").alias("head_upper"),
+    )
+
+
+@register(
+    "p4_url_enrichment",
+    """
+    SELECT doc_id,
+           '/image/' || regexp_extract('/tmp/uploads/img_' ||
+             CAST(doc_id AS VARCHAR) || '.png', '([^/]+)$', 1) AS url
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+    "P4: img.url = '/image/' + basename(path) (app.py:902-921)",
+)
+def p4_url_enrichment(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    path = F.concat(F.lit("/tmp/uploads/img_"), F.col("doc_id").cast("string"), F.lit(".png"))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("/image/"), F.element_at(F.split(path, "/"), -1)).alias("url"),
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+
+@register(
+    "j1_positional_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'click'),
+    errors AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'error')
+    SELECT c.user_id, c.pos,
+           c.event_id AS click_id, e.event_id AS error_id
+    FROM clicks c JOIN errors e ON c.user_id = e.user_id AND c.pos = e.pos
+    """,
+    "J1/J2: k-th ↔ k-th positional pairing via row_number (app.py:92-112,674-681)",
+)
+def j1_positional_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+    )
+    return clicks.alias("c").join(errors.alias("e"), ["user_id", "pos"]).select(
+        "user_id",
+        "pos",
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("error_id"),
+    )
+
+
+@register(
+    "j3_equi_join_chain",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+    "J3/J4/J7: equi-join chain, small dims broadcast (settings lookup analog)",
+)
+def j3_equi_join_chain(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j5_dict_lookup_join",
+    """
+    WITH dim(event_type, weight) AS (VALUES ('click', 1.0), ('signup', 5.0),
+                                            ('error', -2.0), ('purchase', 10.0))
+    SELECT e.event_type,
+           round(CAST(sum(e.value * coalesce(d.weight, 0.0)) AS DOUBLE), 2)
+             AS weighted
+    FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    "J5/J7: id→value dict join, broadcast hash (main.py:45-48)",
+)
+def j5_dict_lookup_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("signup", 5.0), ("error", -2.0), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.coalesce(F.col("weight"), F.lit(0.0))), 2)
+            .alias("weighted")
+        )
+    )
+
+
+@register(
+    "j6_anti_join_insert_if_absent",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "J6/U3: INSERT OR IGNORE ≡ left_anti (init_db.py:108-113)",
+)
+def j6_anti_join_insert_if_absent(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j7_semi_join_lookup",
+    """
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000)
+    """,
+    "J7: keyed EXISTS lookup (settings_manager.py:49-53 analog)",
+)
+def j7_semi_join_lookup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+
+@register(
+    "a1_counts_per_group",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue,
+           round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1/A5: partial+final hash agg (TPC-H Q1 shape; app.py:611-630 analog)",
+)
+def a1_counts_per_group(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "a2_validation_success_rate",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS valid,
+           round(CASE WHEN count(*) > 0
+                 THEN CAST(count(*) FILTER (WHERE event_type <> 'error') AS DOUBLE)
+                      / count(*) * 100 ELSE 0.0 END, 4) AS success_rate
+    FROM events GROUP BY user_id
+    """,
+    "A2/Y5: valid/total*100 with zero guard (app.py:142-177, rate :176)",
+)
+def a2_validation_success_rate(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    valid = F.count_if(F.col("event_type") != "error")
+    total = F.count(F.lit(1))
+    return ev.groupBy("user_id").agg(
+        total.alias("total"),
+        valid.alias("valid"),
+        F.round(
+            F.when(total > 0, valid.cast("double") / total * 100).otherwise(0.0), 4
+        ).alias("success_rate"),
+    )
+
+
+@register(
+    "a6_group_category_sorted_set",
+    """
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    "A6: settings grouped {category:{key:...}} (settings_manager.py:126-150)",
+)
+def a6_group_category_sorted_set(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "a7_refcount_mismatch",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+           CAST(len(regexp_extract_all(text, 'spark')) AS INT) AS n_spark
+    FROM documents
+    WHERE len(regexp_extract_all(text, 'data'))
+          <> len(regexp_extract_all(text, 'spark'))
+      AND doc_id < 300
+    """,
+    "A7/X2: regex-count conformance mismatch (app.py:163-166)",
+)
+def a7_refcount_mismatch(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    n_data = F.size(F.regexp_extract_all("text", F.lit("data"), 0)).cast("int")
+    n_spark = F.size(F.regexp_extract_all("text", F.lit("spark"), 0)).cast("int")
+    return docs.select(
+        "doc_id", n_data.alias("n_data"), n_spark.alias("n_spark")
+    ).filter(F.col("n_data") != F.col("n_spark"))
+
+
+@register(
+    "a8_rollup_totals",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "beyond-reference: ROLLUP grouping sets (SURVEY §2.4 notes none in ref)",
+)
+def a8_rollup_totals(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+# =====================================================================
+# §2.5 windows / ordering  +  §2.6 sorts / top-k
+# =====================================================================
+
+
+@register(
+    "w1_ordered_concat_per_group",
+    """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    "W1 (flagship shape): ordered concat per group — the stable-turn-order op "
+    "(app.py:816-822; ours: collect_list→array_sort→array_join)",
+)
+def w1_ordered_concat_per_group(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), "|"
+        ).alias("event_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "w2_row_number_rank",
+    """
+    SELECT user_id, event_id, pos FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events) WHERE pos <= 3
+    """,
+    "W2: position within sequence (app.py:92,674 loop index k/j)",
+)
+def w2_row_number_rank(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 3)
+    )
+
+
+@register(
+    "w4_frame_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(CAST(sum(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_value,
+           round(CAST(lag(value, 1, 0.0) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS DOUBLE), 2) AS prev_value
+    FROM events
+    """,
+    "W4: frame specs + lag (reference has none; SURVEY §2.5 W4 extension)",
+)
+def w4_frame_running_sum(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
+    )
+
+
+@register(
+    "o1_multikey_sort_topk",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    "O1/O3: multi-key sort + LIMIT → TakeOrderedAndProject "
+    "(settings_manager.py:266-267,456)",
+)
+def o1_multikey_sort_topk(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "w3_ordered_audit_scan",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    "W3/O3: ORDER BY changed_at DESC LIMIT (settings_manager.py:462-473)",
+)
+def w3_ordered_audit_scan(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+# =====================================================================
+# §2.7 set operations
+# =====================================================================
+
+
+@register(
+    "u1_union_tagged_sources",
+    """
+    SELECT 'customer' AS src, c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'supplier' AS src, s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "U1: union of two image sources with source tag (app.py:663-665)",
+)
+def u1_union_tagged_sources(spark, sf_dir):
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customer").alias("src"), "nationkey", "n")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("supplier").alias("src"), "nationkey", "n")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "u2_upsert_merge",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal * 2 AS new_bal FROM customer
+      WHERE c_custkey % 10 = 0)
+    SELECT c.c_custkey,
+           round(coalesce(u.new_bal, c.c_acctbal), 2) AS acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 'updated' ELSE 'kept' END
+             AS status
+    FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+    "U2/J6: INSERT OR REPLACE upsert ≡ MERGE (settings_manager.py:80-84); "
+    "relational form: left join + coalesce",
+)
+def u2_upsert_merge(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", (F.col("c_acctbal") * 2).alias("new_bal"))
+    )
+    return (
+        c.alias("c")
+        .join(updates.alias("u"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+            F.when(F.col("new_bal").isNotNull(), "updated")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "u4_intersect_except",
+    """
+    SELECT nationkey, 'both' AS membership FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS membership FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    "U4: INTERSECT / EXCEPT (used by our golden-diff tests; SURVEY §2.7)",
+)
+def u4_intersect_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select("nationkey", F.lit("both").alias("membership"))
+    only = c.distinct().subtract(s.distinct()).select(
+        "nationkey", F.lit("customer_only").alias("membership")
+    )
+    return both.unionByName(only)
+
+
+# =====================================================================
+# §2.8 scalar string / regex / encoding
+# =====================================================================
+
+
+@register(
+    "x1_regex_extract_all",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INT) AS n_a_words,
+           regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word
+    FROM documents WHERE doc_id < 250
+    """,
+    "X1: regexp all-matches extraction (app.py:121-122)",
+)
+def x1_regex_extract_all(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0))
+        .cast("int")
+        .alias("n_a_words"),
+        F.regexp_extract("text", "([a-z]+a[a-z]*)", 1).alias("first_a_word"),
+    )
+
+
+@register(
+    "x5_translate_normalize",
+    """
+    SELECT doc_id,
+           replace(replace(source || '.' || lang, '.', '_'), '/', '_') AS norm_id
+    FROM documents WHERE doc_id < 150
+    """,
+    "X5: id normalization ./ → _ (app.py:127) via translate",
+)
+def x5_translate_normalize(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    raw = F.concat(F.col("source"), F.lit("."), F.col("lang"))
+    return docs.select("doc_id", F.translate(raw, "./", "__").alias("norm_id"))
+
+
+@register(
+    "x6_filename_synthesis",
+    """
+    SELECT doc_id,
+           'page_' || CAST(doc_id % 10 AS VARCHAR) || '_img_' || source || '.png'
+             AS filename
+    FROM documents WHERE doc_id < 120
+    """,
+    "X6: f-string filename synthesis (app.py:128,585) via format_string",
+)
+def x6_filename_synthesis(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return docs.select(
+        "doc_id",
+        F.format_string(
+            "page_%d_img_%s.png", (F.col("doc_id") % 10).cast("int"), F.col("source")
+        ).alias("filename"),
+    )
+
+
+@register(
+    "x8_extension_split",
+    """
+    SELECT DISTINCT lower(regexp_extract('f_' || CAST(doc_id % 7 AS VARCHAR) ||
+           CASE doc_id % 3 WHEN 0 THEN '.PDF' WHEN 1 THEN '.Jpeg' ELSE '.png' END,
+           '\\.([^.]+)$', 1)) AS ext
+    FROM documents
+    """,
+    "X8: rsplit('.',1)[1].lower() (app.py:56-57)",
+)
+def x8_extension_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.lit("f_"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.element_at(
+            F.array(F.lit(".PDF"), F.lit(".Jpeg"), F.lit(".png")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return docs.select(
+        F.lower(F.substring_index(fname, ".", -1)).alias("ext")
+    ).distinct()
+
+
+@register(
+    "x9_mime_sniff",
+    """
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'image/jpeg' ELSE 'application/octet-stream' END
+             AS mime,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+    "X9: MIME by extension lookup chain (app.py:59-62,191-198)",
+)
+def x9_mime_sniff(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, "application/pdf")
+        .when(F.col("doc_id") % 4 == 1, "image/png")
+        .when(F.col("doc_id") % 4 == 2, "image/jpeg")
+        .otherwise("application/octet-stream")
+    )
+    return docs.groupBy(mime.alias("mime")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "x10_base64_roundtrip",
+    """
+    SELECT doc_id,
+           to_base64(encode(substring(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substring(text, 1, 24)))))
+             AS roundtrip
+    FROM documents WHERE doc_id < 100
+    """,
+    "X10: base64 encode/decode roundtrip (app.py:186-201,751-752)",
+)
+def x10_base64_roundtrip(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    head = F.substring("text", 1, 24)
+    b64 = F.base64(head.cast("binary"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+    )
+
+
+@register(
+    "x11_data_uri_parse",
+    """
+    WITH uris AS (
+      SELECT doc_id, 'data:image/png;base64,' || to_base64(encode(substring(text,1,12)))
+               AS uri
+      FROM documents WHERE doc_id < 80)
+    SELECT doc_id,
+           string_split(string_split(uri, ';')[1], ':')[2] AS mime,
+           string_split(uri, 'base64,')[2] AS payload
+    FROM uris
+    """,
+    "X11: data-URI header parse (app.py:222-230)",
+)
+def x11_data_uri_parse(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    uri = F.concat(
+        F.lit("data:image/png;base64,"),
+        F.base64(F.substring("text", 1, 12).cast("binary")),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(F.split(F.element_at(F.split(uri, ";"), 1), ":"), 2).alias("mime"),
+        F.element_at(F.split(uri, "base64,"), 2).alias("payload"),
+    )
+
+
+@register(
+    "x12_url_parse",
+    """
+    WITH urls AS (
+      SELECT doc_id, 'https://example.com/files/doc%20' || CAST(doc_id AS VARCHAR)
+               || '.pdf?v=2' AS url
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                          '([^/]+)$', 1) AS basename
+    FROM urls
+    """,
+    "X12: urlparse(url).path + basename (app.py:868,1038)",
+)
+def x12_url_parse(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(
+        F.lit("https://example.com/files/doc%20"),
+        F.col("doc_id").cast("string"),
+        F.lit(".pdf?v=2"),
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        F.element_at(F.split(path, "/"), -1).alias("basename"),
+    )
+
+
+@register(
+    "x13_stable_hash_ids",
+    """
+    SELECT doc_id,
+           sha256('doc:' || CAST(doc_id AS VARCHAR) || ':' || lang) AS stable_id
+    FROM documents WHERE doc_id < 100
+    """,
+    "X13: deterministic sha2 ids replacing os.urandom names (SURVEY §2.8)",
+)
+def x13_stable_hash_ids(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = F.concat_ws(":", F.lit("doc"), F.col("doc_id"), F.col("lang"))
+    return docs.select("doc_id", F.sha2(key, 256).alias("stable_id"))
+
+
+# =====================================================================
+# §2.9 scalar date / math / JSON
+# =====================================================================
+
+
+@register(
+    "y2_iso_timestamp_format",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts
+    FROM events WHERE event_id < 200
+    """,
+    "Y2: ISO timestamp string (settings_manager.py:409)",
+)
+def y2_iso_timestamp_format(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+    )
+
+
+@register(
+    "y3_interval_window",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_recent FROM events
+    WHERE ts > TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 24 HOUR
+    """,
+    "Y3: 24h interval arithmetic (init_db.py:97 cache TTL)",
+)
+def y3_interval_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.expr("INTERVAL 24 HOURS")
+    return ev.filter(F.col("ts") > cutoff).agg(F.count(F.lit(1)).alias("n_recent"))
+
+
+@register(
+    "y4_bbox_arithmetic",
+    """
+    SELECT p_partkey,
+           (p_size * 20 - p_size * 3) AS width,
+           (p_size * 12 - p_size * 2) AS height,
+           (p_size * 20 - p_size * 3) * (p_size * 12 - p_size * 2) AS area
+    FROM part WHERE p_size > 25
+    """,
+    "Y4: bbox width/height by subtraction (app.py:563-564,580-581)",
+)
+def y4_bbox_arithmetic(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    width = F.col("p_size") * 20 - F.col("p_size") * 3
+    height = F.col("p_size") * 12 - F.col("p_size") * 2
+    return p.select(
+        "p_partkey",
+        width.alias("width"),
+        height.alias("height"),
+        (width * height).alias("area"),
+    )
+
+
+@register(
+    "y7_clamp",
+    """
+    SELECT event_id, round(greatest(0.5, least(3.0, value / 100)), 4) AS zoom
+    FROM events WHERE event_id < 300
+    """,
+    "Y7: Math.max(0.5, Math.min(3.0, z)) clamp (compare.html:251)",
+)
+def y7_clamp(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.round(F.greatest(F.lit(0.5), F.least(F.lit(3.0), F.col("value") / 100)), 4)
+        .alias("zoom"),
+    )
+
+
+@register(
+    "y8_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "Y8: JSON path extraction (settings profile_data; events.props)",
+)
+def y8_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "y9_typed_cast_with_default",
+    """
+    SELECT doc_id,
+           coalesce(try_cast(substring(text, 1, 2) AS INT), 0) AS as_int,
+           coalesce(try_cast(lang AS DOUBLE), 0.0) AS as_double
+    FROM documents WHERE doc_id < 200
+    """,
+    "Y9: type-tag cast with swallow-to-default (settings_manager.py:376-391)",
+)
+def y9_typed_cast_with_default(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.coalesce(
+            F.expr("try_cast(substring(text, 1, 2) AS INT)"), F.lit(0)
+        ).alias("as_int"),
+        F.coalesce(F.expr("try_cast(lang AS DOUBLE)"), F.lit(0.0)).alias("as_double"),
+    )
