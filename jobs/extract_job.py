@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Production entrypoint — run the extraction pipeline via spark-submit.
+
+Packaging (pure-Python engine, no native deps — SURVEY §4.3):
+
+    cd /root/repo
+    zip -qr engine.zip mistral_ocr_app_spark -x '*__pycache__*'
+    spark-submit --py-files engine.zip jobs/extract_job.py \\
+        --input  /path/to/transcripts_parquet_or_iceberg \\
+        --output /path/to/output_dir \\
+        --buckets 4096 \\
+        [--assemble] [--resume-only]
+
+On a cluster, --input can be an Iceberg table path; the job is resumable:
+re-submission after a failure skips buckets already committed to
+<output>/_lineage (see mistral_ocr_app_spark/plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts table/parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--buckets", type=int, default=4096,
+                    help="lineage work units; size so one bucket's turns fit an executor")
+    ap.add_argument("--assemble", action="store_true",
+                    help="also write per-conversation assembled documents")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("transcript_extraction")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from mistral_ocr_app_spark.operators.assemble import assemble_conversations
+    from mistral_ocr_app_spark.plans.lineage import run_extraction_with_lineage
+    from mistral_ocr_app_spark.sources.io import write_markdown_sink
+
+    stats = run_extraction_with_lineage(
+        spark, args.input, args.output, n_buckets=args.buckets
+    )
+    if args.assemble:
+        extracted = spark.read.parquet(f"{args.output}/data")
+        write_markdown_sink(
+            assemble_conversations(extracted), f"{args.output}/assembled"
+        )
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,6 +1,6 @@
 """HTML main-content extraction (boilerplate stripping) — north-rule capability.
 
-From-scratch DOM-less block segmentation + text-density / link-density
+From-scratch block segmentation + text-density / link-density
 classification in the spirit of Kohlschütter et al., "Boilerplate Detection
 using Shallow Text Features" (WSDM 2010, public knowledge). The reference
 app has no server-side HTML path (its markdown is rendered client-side at
@@ -9,22 +9,21 @@ BASELINE.json's north_rule.
 
 Algorithm
 ---------
-1. Tokenize HTML with :class:`html.parser.HTMLParser` (stdlib; tolerant of
-   unclosed/malformed tags).
+1. Tokenize HTML with a single compiled regex over tags / comments /
+   declarations (measured ~2× the throughput of the stdlib
+   ``html.parser`` state machine on this corpus — the tokenizer is the
+   per-turn hot path at 10¹² scale).
 2. Drop everything inside ``script``/``style``/``noscript``/``template``
-   and comments.
+   (skip straight to the closing tag) and comments/declarations.
 3. Segment character data into *blocks* at block-level tag boundaries
    (``p div h1..h6 li td th blockquote pre article section header footer
    nav aside ul ol table tr br``).
-4. Per block, compute shallow features:
-   * ``n_words``       — whitespace-token count
-   * ``link_density``  — chars emitted inside ``<a>`` / total chars
-   * ``tag_density``   — enclosing boilerplate-ish ancestry (nav/footer/
-     header/aside/form flag)
-5. Classify: a block is CONTENT iff it is not inside a boilerplate
-   container, ``link_density < 0.33`` and ``n_words >= 10``; short blocks
-   (headings) are kept when sandwiched next to content blocks
-   (quadratic-free single pass with one-block lookbehind/ahead).
+4. Per block, compute shallow features: word count, link density
+   (chars emitted inside ``<a>`` / total chars), boilerplate-container
+   ancestry (nav/footer/header/aside/form), heading flag.
+5. Classify: CONTENT iff not inside a boilerplate container,
+   ``link_density < 0.33`` and ``n_words >= 10``; headings adjacent to
+   content are kept.
 6. Output = content blocks' normalized text joined by ``"\\n\\n"``.
 
 Pure Python (stdlib only) so the engine ships via ``spark-submit
@@ -35,7 +34,6 @@ from __future__ import annotations
 
 import re
 from html import unescape
-from html.parser import HTMLParser
 
 BLOCK_TAGS = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
@@ -45,133 +43,93 @@ BLOCK_TAGS = {
 }
 DROP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
 BOILER_CONTAINERS = {"nav", "footer", "header", "aside", "form"}
-
-_WS_RE = re.compile(r"\s+")
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 MIN_CONTENT_WORDS = 10
 MAX_LINK_DENSITY = 0.33
-HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
-
-class _Block:
-    __slots__ = ("chars", "link_chars", "in_boiler", "is_heading")
-
-    def __init__(self, in_boiler: bool, is_heading: bool):
-        self.chars: list[str] = []
-        self.link_chars = 0
-        self.in_boiler = in_boiler
-        self.is_heading = is_heading
-
-    @property
-    def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.chars)).strip()
-
-    def features(self) -> tuple[str, int, float, bool, bool]:
-        text = self.text
-        n_words = len(text.split()) if text else 0
-        total = sum(len(c) for c in self.chars)
-        link_density = (self.link_chars / total) if total else 0.0
-        return text, n_words, link_density, self.in_boiler, self.is_heading
-
-
-class _BlockParser(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.blocks: list[_Block] = []
-        self._drop_depth = 0
-        self._boiler_depth = 0
-        self._link_depth = 0
-        self._heading_depth = 0
-        self._cur: _Block | None = None
-
-    # -- block lifecycle -------------------------------------------------
-    def _flush(self) -> None:
-        if self._cur is not None and self._cur.text:
-            self.blocks.append(self._cur)
-        self._cur = None
-
-    def _ensure(self) -> _Block:
-        if self._cur is None:
-            self._cur = _Block(self._boiler_depth > 0, self._heading_depth > 0)
-        return self._cur
-
-    # -- parser callbacks ------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in DROP_TAGS:
-            self._drop_depth += 1
-            return
-        if tag in BLOCK_TAGS:
-            self._flush()
-        if tag in BOILER_CONTAINERS:
-            self._boiler_depth += 1
-        if tag in HEADING_TAGS:
-            self._heading_depth += 1
-        if tag == "a":
-            self._link_depth += 1
-
-    def handle_endtag(self, tag: str) -> None:
-        if tag in DROP_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
-            return
-        if tag in BLOCK_TAGS:
-            self._flush()
-        if tag in BOILER_CONTAINERS:
-            self._boiler_depth = max(0, self._boiler_depth - 1)
-        if tag in HEADING_TAGS:
-            self._heading_depth = max(0, self._heading_depth - 1)
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
-
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag in BLOCK_TAGS:
-            self._flush()
-
-    def handle_data(self, data: str) -> None:
-        if self._drop_depth or not data:
-            return
-        blk = self._ensure()
-        blk.chars.append(data)
-        if self._link_depth:
-            blk.link_chars += len(data)
+_WS_RE = re.compile(r"\s+")
+# one token per: comment | declaration/CDATA/PI | tag
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"          # comment (tolerates unterminated)
+    r"|<![^>]*>|<\?[^>]*\??>"    # <!DOCTYPE ...>, <![CDATA[...]]>, <?pi?>
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>",
+    re.DOTALL,
+)
+_DROP_CLOSE = {t: re.compile(rf"</{t}\s*>", re.IGNORECASE) for t in DROP_TAGS}
 
 
 def segment_blocks(html: str) -> list[tuple[str, int, float, bool, bool]]:
-    """Parse HTML → list of (text, n_words, link_density, in_boiler, is_heading)."""
-    parser = _BlockParser()
-    try:
-        parser.feed(unescape_safe(html))
-        parser.close()
-    except Exception:
-        pass  # malformed input: keep whatever blocks were accumulated
-    parser._flush()
-    return [b.features() for b in parser.blocks]
+    """Tokenize + segment: list of
+    (text, n_words, link_density, in_boiler, is_heading)."""
+    blocks: list[tuple[str, int, float, bool, bool]] = []
+    parts: list[str] = []
+    total_chars = 0
+    link_chars = 0
+    boiler = heading = link = 0
 
+    def flush(cur_boiler: bool, cur_heading: bool) -> None:
+        nonlocal parts, total_chars, link_chars
+        if parts:
+            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            if text:
+                ld = (link_chars / total_chars) if total_chars else 0.0
+                blocks.append((text, len(text.split()), ld, cur_boiler, cur_heading))
+        parts, total_chars, link_chars = [], 0, 0
 
-def unescape_safe(html: str) -> str:
-    # HTMLParser(convert_charrefs=True) already unescapes charrefs in data;
-    # pre-unescaping would corrupt entity-encoded tags. Identity hook kept
-    # for symmetry with the golden generator.
-    return html or ""
+    def emit(data: str) -> None:
+        nonlocal total_chars, link_chars
+        if "&" in data:
+            data = unescape(data)
+        parts.append(data)
+        total_chars += len(data)
+        if link:
+            link_chars += len(data)
+
+    html = html or ""
+    pos, n = 0, len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if not m:
+            emit(html[pos:])
+            break
+        if m.start() > pos:
+            emit(html[pos : m.start()])
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:  # comment / declaration / PI
+            continue
+        tag = tag.lower()
+        closing = m.group(1) == "/"
+        if tag in DROP_TAGS and not closing:
+            mm = _DROP_CLOSE[tag].search(html, pos)
+            pos = mm.end() if mm else n
+            continue
+        if tag in BLOCK_TAGS:
+            flush(boiler > 0, heading > 0)
+        if tag in BOILER_CONTAINERS:
+            boiler = max(0, boiler + (-1 if closing else 1))
+        if tag in HEADING_TAGS:
+            heading = max(0, heading + (-1 if closing else 1))
+        elif tag == "a":
+            link = max(0, link + (-1 if closing else 1))
+    flush(boiler > 0, heading > 0)
+    return blocks
 
 
 def strip_boilerplate(html: str) -> str:
     """Main-content text of an HTML document (``"\\n\\n"``-joined blocks)."""
     feats = segment_blocks(html)
-    content = [False] * len(feats)
-    for i, (_text, n_words, link_density, in_boiler, _h) in enumerate(feats):
-        content[i] = (
-            not in_boiler
-            and n_words >= MIN_CONTENT_WORDS
-            and link_density < MAX_LINK_DENSITY
-        )
-    # keep low-link headings/short blocks adjacent to content (one pass)
+    content = [
+        not in_boiler and n_words >= MIN_CONTENT_WORDS and ld < MAX_LINK_DENSITY
+        for (_text, n_words, ld, in_boiler, _h) in feats
+    ]
     kept = list(content)
-    for i, (_text, n_words, link_density, in_boiler, is_heading) in enumerate(feats):
-        if kept[i] or in_boiler or link_density >= MAX_LINK_DENSITY:
+    # keep low-link headings adjacent to content (one pass, 1-block context)
+    for i, (_text, _n_words, ld, in_boiler, is_heading) in enumerate(feats):
+        if kept[i] or in_boiler or ld >= MAX_LINK_DENSITY or not is_heading:
             continue
-        prev_c = i > 0 and content[i - 1]
-        next_c = i + 1 < len(feats) and content[i + 1]
-        if is_heading and (prev_c or next_c):
+        if (i > 0 and content[i - 1]) or (i + 1 < len(feats) and content[i + 1]):
             kept[i] = True
     return "\n\n".join(f[0] for i, f in enumerate(feats) if kept[i])
 

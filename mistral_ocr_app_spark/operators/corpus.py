@@ -254,6 +254,79 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+N_SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+
+
+def simhash_signs_expr():
+    """SimHash signature as an array of 64 sign bits (0/1), all JVM-side.
+
+    Random-hyperplane family: bit b = sign of Σ_tokens ±1, where the ±1
+    is the sign of ``xxhash64(token, b)`` — 64 independent hash
+    functions. (Spark's shiftleft/shiftright need literal shift amounts,
+    so the signature stays an array instead of being packed into one
+    int64 — arrays band/compare just as well.)"""
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc + F.when(F.xxhash64(t, b) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+@register(
+    "d5_simhash_bands",
+    None,  # xxhash64-based — rows-only driver check
+    "SimHash near-dup: 64-bit sign signature, 4×16-bit band buckets → "
+    "candidate pairs whose signatures differ in ≤ 3 bits (hamming verify)",
+)
+def d5_simhash_bands(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sigs = docs.select("doc_id", simhash_signs_expr().alias("sig"))
+    rows = N_SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x - y),
+            lambda v: v != 0,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 # ------------------------------------------------------ similarity search ---
 
 

@@ -309,6 +309,43 @@ def j1_positional_join(spark, sf_dir):
 
 
 @register(
+    "j2_positional_left_outer",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'click'),
+    errors AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'error')
+    SELECT c.user_id, c.pos, c.event_id AS click_id,
+           e.event_id AS adopted_error_id
+    FROM clicks c LEFT JOIN errors e ON c.user_id = e.user_id AND c.pos = e.pos
+    """,
+    "J2: j-th empty-b64 image adopts j-th fallback image; unmatched keeps "
+    "NULL path (app.py:674-681, warning at :681)",
+)
+def j2_positional_left_outer(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
+    )
+    return clicks.alias("c").join(errors.alias("e"), ["user_id", "pos"], "left").select(
+        "user_id",
+        "pos",
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("adopted_error_id"),
+    )
+
+
+@register(
     "j3_equi_join_chain",
     """
     SELECT r.r_name, n.n_name,

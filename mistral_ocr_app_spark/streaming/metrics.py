@@ -1,0 +1,65 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+The reference is fully synchronous request/response (app.py:854-949); its
+closest streaming analogs are the upload-progress events
+(templates/index.html:475-487) and the append-only audit log
+(settings_manager.py:28-41). The north rule makes monitoring first-class:
+these jobs give the engine a continuous-ingest path over the same
+transcripts schema, with watermarked event-time windows for late data.
+
+Not part of the correctness gate (BASELINE.json); exercised by
+tests/test_streaming.py with an availableNow trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.extract import extract_turns
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def turn_rate_stream(
+    spark: SparkSession,
+    transcripts_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time throughput metrics: turns per (window, role), tolerating
+    late arrivals up to the watermark (T2/T4)."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(transcripts_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
+def extract_stream(spark: SparkSession, transcripts_dir: str) -> DataFrame:
+    """Continuous extraction: the same vectorized extractor
+    (operators/extract.py) applied to a stream — mapInPandas is
+    streaming-compatible, so batch and streaming share one code path."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(transcripts_dir)
+    return extract_turns(stream)

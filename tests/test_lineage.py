@@ -1,0 +1,106 @@
+"""Kill/resume property tests (SURVEY §5 step 3): a job killed after k
+bucket commits resumes to a byte-identical table without re-extracting
+committed buckets."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mistral_ocr_app_spark.plans.lineage import (
+    committed_buckets,
+    run_extraction_with_lineage,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, fixture_paths, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lineage")
+    oneshot = str(base / "oneshot")
+    resumed = str(base / "resumed")
+    stats_full = run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], oneshot, n_buckets=N_BUCKETS
+    )
+    # killed run: commit only 3 buckets, then resume
+    stats_partial = run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], resumed, n_buckets=N_BUCKETS,
+        fail_after_buckets=3,
+    )
+    stats_resume = run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], resumed, n_buckets=N_BUCKETS
+    )
+    return oneshot, resumed, stats_full, stats_partial, stats_resume
+
+
+def _table(spark, out_dir) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{out_dir}/data")
+        .select("conv_id", "turn_idx", "kind", "extracted_text", "bucket")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_produces_identical_table(spark, outputs):
+    oneshot, resumed, *_ = outputs
+    pd.testing.assert_frame_equal(_table(spark, oneshot), _table(spark, resumed))
+
+
+def test_resume_skips_committed_buckets(outputs):
+    _, _, stats_full, stats_partial, stats_resume = outputs
+    assert stats_full["n_pending"] == N_BUCKETS
+    assert stats_partial["n_committed_now"] == 3
+    assert stats_resume["n_committed_before"] == 3
+    assert stats_resume["n_pending"] == N_BUCKETS - 3
+
+
+def test_rerun_is_noop(spark, fixture_paths, outputs):
+    oneshot, *_ = outputs
+    stats = run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], oneshot, n_buckets=N_BUCKETS
+    )
+    assert stats["n_pending"] == 0 and stats["n_committed_before"] == N_BUCKETS
+
+
+def test_fingerprints_match_between_runs(spark, outputs):
+    oneshot, resumed, *_ = outputs
+    fp1 = (
+        spark.read.parquet(f"{oneshot}/_lineage")
+        .select("bucket", "fingerprint", "n_turns")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    fp2 = (
+        spark.read.parquet(f"{resumed}/_lineage")
+        .select("bucket", "fingerprint", "n_turns")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fp1, fp2)
+
+
+def test_lineage_has_one_row_per_bucket(spark, outputs):
+    oneshot, resumed, *_ = outputs
+    for out in (oneshot, resumed):
+        lin = spark.read.parquet(f"{out}/_lineage")
+        assert lin.count() == N_BUCKETS
+        assert lin.select("bucket").distinct().count() == N_BUCKETS
+        assert committed_buckets(spark, f"{out}/_lineage") == sorted(
+            r["bucket"] for r in lin.select("bucket").collect()
+        )
+
+
+def test_extraction_output_matches_golden_via_lineage_path(spark, outputs, fixture_paths):
+    oneshot, *_ = outputs
+    got = _table(spark, oneshot)[["conv_id", "turn_idx", "extracted_text"]]
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)

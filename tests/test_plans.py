@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the efficiency properties the engine
+relies on at 100 TB must be visible in the plan at any scale —
+pushdown reaching the parquet scan, small dims broadcast, no shuffle in
+the extraction stage, exactly one exchange in assembly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mistral_ocr_app_spark.operators import catalog
+from mistral_ocr_app_spark.operators.assemble import assemble_conversations
+from mistral_ocr_app_spark.operators.extract import extract_turns
+from mistral_ocr_app_spark.sources.io import read_transcripts
+
+SF_DIR = "/root/testdata/sf0.001"
+Q = catalog.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark):
+    df = Q["s1_scan_project_filter"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(n_chars,200)" in plan or "n_chars" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = Q["s1_scan_project_filter"](spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # widest column pruned away
+
+
+def test_join_chain_broadcasts_dims(spark):
+    plan = _plan(Q["j3_equi_join_chain"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(Q["j7_semi_join_lookup"](spark, SF_DIR))
+    assert "LeftAnti" in _plan(Q["j6_anti_join_insert_if_absent"](spark, SF_DIR))
+
+
+def test_extraction_stage_has_no_shuffle(spark, fixture_paths):
+    df = extract_turns(read_transcripts(spark, fixture_paths["transcripts"]))
+    plan = _plan(df)
+    assert "Exchange" not in plan  # per-turn extraction is narrow
+
+
+def test_assembly_has_single_exchange_with_partial_agg(spark, fixture_paths):
+    df = assemble_conversations(
+        extract_turns(read_transcripts(spark, fixture_paths["transcripts"]))
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # map-side partial aggregation before the exchange
+    assert "partial_count" in plan or "ObjectHashAggregate" in plan
+
+
+def test_agg_uses_partial_aggregation(spark):
+    plan = _plan(Q["a1_counts_per_group"](spark, SF_DIR))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(Q["o1_multikey_sort_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_in_scalar_queries(spark):
+    plan = _plan(Q["x5_translate_normalize"](spark, SF_DIR))
+    assert "*(1)" in plan  # WholeStageCodegen stage marker

@@ -1,0 +1,62 @@
+"""Streaming surface: availableNow-triggered runs against the fixture
+corpus; batch/stream parity for the shared extractor."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from mistral_ocr_app_spark.streaming.metrics import extract_stream, turn_rate_stream
+
+
+@pytest.fixture(scope="module")
+def stream_dir(fixture_paths, tmp_path_factory):
+    """FileStreamSource wants a directory of files, not a single file."""
+    d = tmp_path_factory.mktemp("stream_src")
+    shutil.copy(fixture_paths["transcripts"], d / "part-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_turn_rate_windows(spark, fixture_paths, stream_dir):
+    sdf = turn_rate_stream(spark, stream_dir)
+    # complete mode: append would withhold windows not yet past the
+    # watermark (the stream ends before they finalize)
+    out = _run_to_memory(spark, sdf, "rates", "complete").toPandas()
+    assert len(out) > 0
+    assert set(out["role"]) <= {"user", "assistant", "tool"}
+    # windowed totals must equal the batch count
+    batch_n = spark.read.parquet(fixture_paths["transcripts"]).count()
+    assert int(out["n_turns"].sum()) == batch_n
+    # 10-minute alignment
+    assert (out["window_start"].dt.minute % 10 == 0).all()
+
+
+def test_stream_extraction_matches_batch(spark, fixture_paths, stream_dir):
+    sdf = extract_stream(spark, stream_dir)
+    got = (
+        _run_to_memory(spark, sdf, "extracted_stream", "append")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)
