@@ -176,10 +176,11 @@ def golden_spans(tool_payload):
         doc = json.loads(tool_payload)
     except (json.JSONDecodeError, TypeError):
         return []
-    all_spans = []
+    # pages sharing an index merge before ordering (same spec as engine)
+    pages_merged = {}
     for page in doc.get("pages", []):
         page_num = int(page.get("index", 0))
-        keep = []
+        keep = pages_merged.setdefault(page_num, [])
         for blk in page.get("blocks", []):
             if blk.get("kind", "text") == "image":
                 n = int(blk.get("channels", 3))
@@ -187,7 +188,12 @@ def golden_spans(tool_payload):
                 if n - alpha >= 4:  # CMYK check, app.py:327
                     continue
             bbox = blk.get("bbox") or [0.0, 0.0, 0.0, 0.0]
+            if len(bbox) != 4:
+                bbox = [0.0, 0.0, 0.0, 0.0]
             keep.append((float(bbox[1]), float(bbox[0]), blk, bbox))
+    all_spans = []
+    for page_num in sorted(pages_merged):
+        keep = pages_merged[page_num]
         keep.sort(key=lambda t: (t[0], t[1]))
         for rank, (_y, _x, blk, bbox) in enumerate(keep):
             all_spans.append(

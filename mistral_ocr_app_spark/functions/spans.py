@@ -47,10 +47,12 @@ def parse_span_source(payload: str) -> list[dict[str, Any]]:
         return []
     if not isinstance(doc, dict):
         return []
-    spans: list[dict[str, Any]] = []
+    # pages sharing an index merge into one page before ordering (spec:
+    # ordering is a function of (page, y0, x0) over ALL blocks)
+    by_page: dict[int, list] = {}
     for page in doc.get("pages", []) or []:
         page_idx = int(page.get("index", 0))
-        blocks = []
+        blocks = by_page.setdefault(page_idx, [])
         for blk in page.get("blocks", []) or []:
             bbox = blk.get("bbox") or [0.0, 0.0, 0.0, 0.0]
             if len(bbox) != 4:
@@ -71,6 +73,9 @@ def parse_span_source(payload: str) -> list[dict[str, Any]]:
                     "kind": kind,
                 }
             )
+    spans: list[dict[str, Any]] = []
+    for page_idx in sorted(by_page):
+        blocks = by_page[page_idx]
         blocks.sort(key=lambda b: (b["y0"], b["x0"]))
         for rank, blk in enumerate(blocks):
             spans.append(
@@ -85,7 +90,6 @@ def parse_span_source(payload: str) -> list[dict[str, Any]]:
                     "kind": blk["kind"],
                 }
             )
-    spans.sort(key=lambda s: (s["page"], s["span_idx"]))
     return spans
 
 

@@ -409,6 +409,71 @@ def e2_label_centroid_norm(spark, sf_dir):
 
 
 @register(
+    "d6_embedding_neardup",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(unnest(a.embedding) AS DOUBLE) AS x,
+             CAST(unnest(b.embedding) AS DOUBLE) AS y
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.vec_id < 400 AND b.vec_id < 400),
+    sims AS (
+      SELECT vec_a, vec_b,
+             round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 3) AS cos_sim
+      FROM pairs GROUP BY vec_a, vec_b)
+    SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.2
+    """,
+    "embedding-cosine near-dup pairs: label-blocked self-join (the LSH "
+    "bucket stands in for label at scale), float64 cosine, thresholded",
+)
+def d6_embedding_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(_cosine_expr(F.col("ea"), F.col("eb")), 3)
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+@register(
+    "m1_media_features",
+    None,  # decode stub is engine-side — rows-only driver check
+    "multimodal: binary media column → decode/feature-extract via "
+    "mapInPandas (real magic-byte sniff + PNG header parse; pixel decode "
+    "stubbed deterministically — codecs absent in this container)",
+)
+def m1_media_features(spark, sf_dir):
+    from .multimodal import extract_media_features, media_from_documents
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+@register(
+    "m2_video_frame_sample",
+    None,
+    "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
+    "(mapInPandas fan-out batch shape)",
+)
+def m2_video_frame_sample(spark, sf_dir):
+    from .multimodal import media_from_documents, sample_video_frames
+
+    media = media_from_documents(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+    return sample_video_frames(media, every_k=16)
+
+
+@register(
     "e3_ivf_bucketed_ann",
     None,  # centroid assignment uses Spark float reduction order — rows-only
     "IVF-style ANN scale path: assign each vector to nearest of K seed "

@@ -1,0 +1,249 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+The reference handles images as base64 blobs written to disk
+(app.py:218-246) and rasterized PDF pages (app.py:273-306). At corpus
+scale the engine instead carries media as a ``binary`` column with a
+typed metadata struct, and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode
+kernels are deterministic STUBS behind ``_decode_stub`` — magic-byte
+sniffing and header parsing are real; pixel decoding returns a
+deterministic synthetic result derived from the byte content. The
+Spark-side plumbing — schemas, batch iteration, partitioning, binary
+transport through Arrow — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("content_digest", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+# real magic-byte sniffing (public file-format specs)
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"RIFF", "riff"),  # wav/webp container; refined below
+    (b"GIF8", "gif"),
+    (b"\x00\x00\x00", "mp4?"),  # ftyp boxes start with size
+]
+
+
+def sniff_format(content: bytes) -> str:
+    if not content:
+        return "empty"
+    for magic, fmt in _MAGIC:
+        if content.startswith(magic):
+            if fmt == "riff" and len(content) >= 12:
+                sub = content[8:12]
+                return {"WEBP": "webp", "WAVE": "wav"}.get(sub.decode("ascii", "replace"), "riff")
+            if fmt == "mp4?" and len(content) >= 12 and content[4:8] == b"ftyp":
+                return "mp4"
+            if fmt not in ("riff", "mp4?"):
+                return fmt
+    return "unknown"
+
+
+def parse_png_dims(content: bytes) -> tuple[int, int] | None:
+    """Real PNG IHDR parse: width/height are bytes 16..24 big-endian."""
+    if len(content) >= 24 and content.startswith(b"\x89PNG\r\n\x1a\n"):
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    return None
+
+
+def _decode_stub(content: bytes, kind: str) -> dict:
+    """Deterministic stand-in for the pixel/sample decoder.
+
+    Real codecs (PIL, ffmpeg) are unavailable in this container; at
+    deploy time this function body is replaced by the real decode.
+    Everything it returns is a pure function of the bytes, so tests and
+    retries are stable.
+    """
+    digest = hashlib.sha256(content).hexdigest()
+    fmt = sniff_format(content)
+    dims = parse_png_dims(content)
+    if dims is None:
+        # synthetic-but-deterministic dimensions from the digest
+        w = 64 + int(digest[:4], 16) % 960
+        h = 64 + int(digest[4:8], 16) % 540
+        dims = (w, h)
+    n_frames = 1
+    if kind == "video":
+        n_frames = 8 + int(digest[8:10], 16) % 120
+    elif kind == "audio":
+        n_frames = 1000 + int(digest[8:12], 16) % 44100
+    return {
+        "format": fmt,
+        "width": dims[0],
+        "height": dims[1],
+        "n_frames": n_frames,
+        "content_digest": digest,
+        "decoded": fmt != "empty",
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+            content = bytes(content) if content is not None else b""
+            d = _decode_stub(content, kind)
+            rows.append(
+                (int(mid), kind, d["format"], d["width"], d["height"],
+                 d["n_frames"], d["content_digest"], d["decoded"])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "kind", "format", "width", "height",
+                     "n_frames", "content_digest", "decoded"],
+        ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract stage: binary in, typed features out.
+    Narrow (mapInPandas on scan partitions — same no-shuffle property as
+    text extraction)."""
+    return media.select("media_id", "kind", "content").mapInPandas(
+        _extract_features, FEATURE_SCHEMA
+    )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def _resize(batches: Iterator[pd.DataFrame], max_side: int = 256) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            content = bytes(content) if content is not None else b""
+            d = _decode_stub(content, "image")
+            w, h = d["width"], d["height"]
+            scale = min(1.0, max_side / max(w, h, 1))
+            tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+            # STUB thumbnail: digest-derived bytes sized tw*th//64
+            thumb = hashlib.sha256(content + b"thumb").digest() * max(
+                1, (tw * th) // (64 * 32)
+            )
+            rows.append((int(mid), tw, th, thumb))
+        yield pd.DataFrame(rows, columns=["media_id", "thumb_w", "thumb_h", "thumb"]).astype(
+            {"thumb_w": "int32", "thumb_h": "int32"}
+        )
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize/thumbnail stage (decode stubbed; plumbing real)."""
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(lambda it: _resize(it, max_side), THUMB_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            content = bytes(content) if content is not None else b""
+            d = _decode_stub(content, "video")
+            for fi in range(0, d["n_frames"], every_k):
+                fd = hashlib.sha256(content + fi.to_bytes(4, "big")).hexdigest()[:16]
+                rows.append((int(mid), fi, fd))
+        yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"]).astype(
+            {"frame_idx": "int32"}
+        )
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame-sampling stage: 1 row in → n_frames/k rows out (the batch
+    shape a real ffmpeg-backed sampler would produce)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(lambda it: _sample_frames(it, every_k), FRAME_SCHEMA)
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents`` for tests and
+    the driver's rows-only checks: content = text bytes with a real PNG
+    header for every 3rd row (exercises the real header-parse path)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+    )
+    png_header = bytes.fromhex("89504e470d0a1a0a0000000d49484452") + struct.pack(
+        ">II", 640, 480
+    )
+    content = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(png_header), F.encode("text", "utf-8")),
+    ).otherwise(F.encode("text", "utf-8"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("text").cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )

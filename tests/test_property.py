@@ -1,0 +1,76 @@
+"""Property-based differential tests (hypothesis): engine == golden on
+ARBITRARY inputs, not just generator-shaped ones."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mistral_ocr_app_spark.fixtures import golden as g
+from mistral_ocr_app_spark.functions import markdown as md
+from mistral_ocr_app_spark.functions.classify import classify_payload
+from mistral_ocr_app_spark.functions.html_strip import strip_boilerplate
+from mistral_ocr_app_spark.functions.spans import parse_span_source
+
+# text that may contain markdown-ish image refs in arbitrary positions
+ref_st = st.builds(
+    lambda alt, name, ext: f"![{alt}]({name}.{ext})",
+    st.text(alphabet="ab c-", max_size=8).filter(lambda s: "]" not in s),
+    st.sampled_from(["img-0", "img-12", "fig", "a/b", "x.y"]),
+    st.sampled_from(["jpeg", "JPG", "png", "webp", "gif", "txt"]),
+)
+chunk_st = st.one_of(st.text(max_size=30), ref_st)
+markdown_st = st.lists(chunk_st, max_size=8).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(markdown_st, st.integers(min_value=0, max_value=20))
+def test_rewrite_engine_equals_golden(text, page_idx):
+    assert md.rewrite_markdown_links(text, page_idx) == g.golden_update_markdown_links(
+        text, page_idx
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_arbitrary_text_never_crashes(text):
+    kind = classify_payload(text)
+    assert isinstance(kind, str)
+    md.rewrite_markdown_links(text, 0)
+    strip_boilerplate(text)
+    parse_span_source(text)
+    md.parse_base64_payload(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/aip b!-&;=\"'", max_size=200))
+def test_malformed_html_never_crashes(html):
+    out = strip_boilerplate(html)
+    assert isinstance(out, str)
+
+
+span_block_st = st.fixed_dictionaries(
+    {
+        "text": st.text(max_size=10),
+        "bbox": st.lists(
+            st.floats(min_value=0, max_value=1000, allow_nan=False), min_size=4, max_size=4
+        ),
+        "kind": st.sampled_from(["text", "image"]),
+        "channels": st.integers(min_value=1, max_value=5),
+        "alpha": st.integers(min_value=0, max_value=1),
+    }
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {"index": st.integers(0, 5), "blocks": st.lists(span_block_st, max_size=6)}
+        ),
+        max_size=4,
+    )
+)
+def test_span_parse_engine_equals_golden(pages):
+    payload = json.dumps({"pages": pages})
+    assert parse_span_source(payload) == g.golden_spans(payload)
