@@ -12,7 +12,10 @@ give the extractor a true SQL oracle:
   variant 1: a trailing ``![fig](img-0.jpeg)`` ref → engine must rewrite
       it to ``/image/page_{turn_idx}_extracted_img-0_jpeg.jpeg``
       (app.py:64-115 semantics)
-  variants 2-3: plain text → identity
+  variant 2: plain text → identity
+  variant 3: a span-source document in the ``tool`` column with two
+      blocks serialized OUT of reading order → engine must restore
+      (y0, x0) order (app.py:273-360 semantics)
 
 This is the per-row-invariant check (BASELINE.json input_hint) running
 inside the driver's DuckDB gate, complementing the pytest golden gate.
@@ -57,12 +60,30 @@ def derive_transcripts(docs: DataFrame) -> DataFrame:
     ts = F.timestamp_add(
         "MINUTE", F.col("doc_id").cast("int"), F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
+    # variant 3: span-source doc, two blocks serialized out of reading order
+    words = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(words, 1, 3), " ")
+    tail = F.array_join(
+        F.slice(words, 4, F.greatest(F.size(words) - 3, F.lit(0))), " "
+    )
+    tool = F.when(
+        variant == 3,
+        F.concat(
+            F.lit('{"pages":[{"index":0,"blocks":['
+                  '{"text":"'),
+            tail,
+            F.lit('","bbox":[10.0,200.0,300.0,212.0],"kind":"text"},'
+                  '{"text":"'),
+            head,
+            F.lit('","bbox":[10.0,50.0,300.0,62.0],"kind":"text"}]}]}'),
+        ),
+    ).otherwise(F.lit(""))
     return docs.select(
         conv_id.alias("conv_id"),
         turn_idx.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
-        F.lit("").alias("tool"),
+        tool.alias("tool"),
         ts.alias("ts"),
     )
 
@@ -75,16 +96,28 @@ _DERIVED_SQL = f"""
 """
 
 _PER_TURN_SQL = f"""
-    WITH t AS ({_DERIVED_SQL})
+    WITH t AS ({_DERIVED_SQL}),
+    split AS (
+      SELECT *,
+             list_aggr(string_split(text, ' ')[1:3], 'string_agg', ' ') AS head,
+             CASE WHEN len(string_split(text, ' ')) > 3
+                  THEN list_aggr(string_split(text, ' ')[4:], 'string_agg', ' ')
+                  ELSE '' END AS tail
+      FROM t)
     SELECT conv_id, turn_idx,
-           CASE WHEN variant = 0 THEN 'html' ELSE 'markdown' END AS kind,
+           CASE WHEN variant = 0 THEN 'html'
+                WHEN variant = 3 THEN 'spans'
+                ELSE 'markdown' END AS kind,
            CASE WHEN variant = 0 THEN
                   (CASE WHEN len(string_split(text, ' ')) >= 10 THEN text ELSE '' END)
                 WHEN variant = 1 THEN
                   text || chr(10) || chr(10) || '![fig](/image/page_' ||
                   CAST(turn_idx AS VARCHAR) || '_extracted_img-0_jpeg.jpeg)'
+                WHEN variant = 3 THEN
+                  (CASE WHEN tail = '' THEN head
+                        ELSE head || chr(10) || tail END)
                 ELSE text END AS extracted_text
-    FROM t
+    FROM split
 """
 
 
@@ -127,7 +160,9 @@ def q_flagship_assembled(spark, sf_dir):
     "q_extract_kind_census",
     f"""
     WITH t AS ({_DERIVED_SQL})
-    SELECT CASE WHEN variant = 0 THEN 'html' ELSE 'markdown' END AS kind,
+    SELECT CASE WHEN variant = 0 THEN 'html'
+                WHEN variant = 3 THEN 'spans'
+                ELSE 'markdown' END AS kind,
            CAST(count(*) AS BIGINT) AS n_turns,
            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_rewritten
