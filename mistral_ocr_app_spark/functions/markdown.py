@@ -110,21 +110,29 @@ def rewrite_markdown_links(
     Returns (new_markdown, n_refs, n_api_images, n_rewritten).
     """
     md = markdown_text or ""
-    refs = extract_images_from_markdown(md, page_index)
-    api_images = api_images_for_markdown(md, page_index)
+    # single scan builds both the ref list and the saved-image model
+    # (the golden transcription stays two-pass — independent impls)
+    refs: list[tuple[str, str]] = []  # (alt_text, markdown_pattern)
+    api_basenames: list[str] = []
+    for m in IMAGE_REF_RE.finditer(md):
+        alt_text, image_ref, ext = m.group(1), m.group(2), m.group(3)
+        refs.append((alt_text, m.group(0)))
+        if STRICT_NAME_RE.search(image_ref):
+            img_id = normalize_image_id(image_ref)
+            api_basenames.append(
+                secure_filename(f"page_{page_index}_extracted_{img_id}.{ext}")
+            )
     if not refs:
-        return md, 0, len(api_images), 0
+        return md, 0, len(api_basenames), 0
     updates = 0
-    for k, ref in enumerate(refs):
-        if k >= len(api_images):
+    for k, (alt_text, old) in enumerate(refs):
+        if k >= len(api_basenames):
             continue
-        basename = api_images[k]["path"].rsplit("/", 1)[-1]
-        old = ref["markdown_pattern"]
-        new = f"![{ref['alt_text']}](/image/{basename})"
+        new = f"![{alt_text}](/image/{api_basenames[k]})"
         if old in md:
             md = md.replace(old, new, 1)
             updates += 1
-    return md, len(refs), len(api_images), updates
+    return md, len(refs), len(api_basenames), updates
 
 
 def replace_images_in_markdown(markdown_str: str, images_dict: dict[str, str]) -> str:

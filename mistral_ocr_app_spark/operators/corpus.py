@@ -8,7 +8,7 @@ Spark's xxhash64) are rows-only checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import load, register

@@ -23,7 +23,7 @@ inside the driver's DuckDB gate, complementing the pytest golden gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .assemble import assemble_conversations_app

@@ -29,6 +29,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # this engine's reduce stages (ordered assembly: collect_list +
+        # array_sort + string building) are CPU-heavy per byte, so the
+        # 64m default advisory size over-coalesces them; 8m keeps the
+        # post-shuffle stage wide (measured 1.5× on assembly at 32 cores)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

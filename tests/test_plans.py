@@ -3,9 +3,6 @@ relies on at 100 TB must be visible in the plan at any scale —
 pushdown reaching the parquet scan, small dims broadcast, no shuffle in
 the extraction stage, exactly one exchange in assembly."""
 
-import pytest
-from pyspark.sql import functions as F
-
 from mistral_ocr_app_spark.operators import catalog
 from mistral_ocr_app_spark.operators.assemble import assemble_conversations
 from mistral_ocr_app_spark.operators.extract import extract_turns

@@ -1,7 +1,6 @@
 """Streaming surface: availableNow-triggered runs against the fixture
 corpus; batch/stream parity for the shared extractor."""
 
-import os
 import shutil
 
 import pandas as pd
