@@ -96,43 +96,31 @@ def _extract_one(text: str | None, tool: str | None, turn_idx: int) -> tuple:
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        n = len(pdf)
-        if n == 0:
+        if not len(pdf):
             continue
-        out = {k: [None] * n for k in (
-            "kind", "extracted_text", "n_refs", "n_images",
-            "n_rewritten", "n_spans", "valid",
-        )}
-        texts = pdf["text"].to_numpy()
-        tools = pdf["tool"].to_numpy()
-        idxs = pdf["turn_idx"].to_numpy()
-        for i in range(n):
-            row = _extract_one(texts[i], tools[i], int(idxs[i]))
-            (
-                out["kind"][i],
-                out["extracted_text"][i],
-                out["n_refs"][i],
-                out["n_images"][i],
-                out["n_rewritten"][i],
-                out["n_spans"][i],
-                out["valid"][i],
-            ) = row
-        res = pd.DataFrame(
+        rows = [
+            _extract_one(text, tool, turn_idx)
+            for text, tool, turn_idx in zip(
+                pdf["text"].to_numpy(), pdf["tool"].to_numpy(), pdf["turn_idx"].to_numpy()
+            )
+        ]
+        kinds, texts_out, n_refs, n_images, n_rewritten, n_spans, valid = zip(*rows)
+        idx = pdf.index
+        yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"],
                 "turn_idx": pdf["turn_idx"].astype("int32"),
                 "role": pdf["role"],
                 "ts": pdf["ts"],
-                "kind": pd.Series(out["kind"], index=pdf.index),
-                "extracted_text": pd.Series(out["extracted_text"], index=pdf.index),
-                "n_refs": pd.Series(out["n_refs"], index=pdf.index, dtype="int32"),
-                "n_images": pd.Series(out["n_images"], index=pdf.index, dtype="int32"),
-                "n_rewritten": pd.Series(out["n_rewritten"], index=pdf.index, dtype="int32"),
-                "n_spans": pd.Series(out["n_spans"], index=pdf.index, dtype="int32"),
-                "valid": pd.Series(out["valid"], index=pdf.index, dtype="bool"),
+                "kind": pd.Series(kinds, index=idx),
+                "extracted_text": pd.Series(texts_out, index=idx),
+                "n_refs": pd.Series(n_refs, index=idx, dtype="int32"),
+                "n_images": pd.Series(n_images, index=idx, dtype="int32"),
+                "n_rewritten": pd.Series(n_rewritten, index=idx, dtype="int32"),
+                "n_spans": pd.Series(n_spans, index=idx, dtype="int32"),
+                "valid": pd.Series(valid, index=idx, dtype="bool"),
             }
         )
-        yield res
 
 
 def extract_turns(transcripts: DataFrame) -> DataFrame:

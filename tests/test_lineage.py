@@ -94,6 +94,54 @@ def test_lineage_has_one_row_per_bucket(spark, outputs):
         )
 
 
+def test_mid_write_crash_leaves_recoverable_state(spark, fixture_paths, tmp_path):
+    """A kill DURING a bucket's data write leaves partial files but no
+    lineage row; the resume must overwrite the partial bucket (dynamic
+    partition overwrite) and converge to the one-shot table."""
+    out = str(tmp_path / "crashy")
+    # commit 2 of 8 buckets, then fake a crash mid-write of bucket 5:
+    # stale/partial parquet exists in the data dir without a lineage row
+    run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], out, n_buckets=N_BUCKETS,
+        fail_after_buckets=2,
+    )
+    import os
+
+    import pandas as pd  # partial garbage row pretending to be bucket 5
+
+    partial_dir = f"{out}/data/bucket=5"
+    os.makedirs(partial_dir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "conv_id": ["GARBAGE"], "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"], "ts": pd.to_datetime(["2020-01-01"]).astype("datetime64[us]"),
+            "kind": ["markdown"], "extracted_text": ["PARTIAL WRITE"],
+            "n_refs": pd.array([0], dtype="int32"),
+            "n_images": pd.array([0], dtype="int32"),
+            "n_rewritten": pd.array([0], dtype="int32"),
+            "n_spans": pd.array([0], dtype="int32"), "valid": [True],
+        }
+    ).to_parquet(f"{partial_dir}/part-junk.parquet", index=False)
+    assert spark.read.parquet(f"{out}/data").filter("conv_id = 'GARBAGE'").count() == 1
+
+    stats = run_extraction_with_lineage(
+        spark, fixture_paths["transcripts"], out, n_buckets=N_BUCKETS
+    )
+    assert stats["n_pending"] == N_BUCKETS - 2
+    final = spark.read.parquet(f"{out}/data")
+    assert final.filter("conv_id = 'GARBAGE'").count() == 0  # partial gone
+    got = (
+        final.select("conv_id", "turn_idx", "extracted_text")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+
 def test_extraction_output_matches_golden_via_lineage_path(spark, outputs, fixture_paths):
     oneshot, *_ = outputs
     got = _table(spark, oneshot)[["conv_id", "turn_idx", "extracted_text"]]
