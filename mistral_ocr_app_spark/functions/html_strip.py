@@ -51,10 +51,31 @@ MAX_LINK_DENSITY = 0.33
 # one token per: comment | declaration/CDATA/PI | tag
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"          # comment (tolerates unterminated)
-    r"|<![^>]*>|<\?[^>]*\??>"    # <!DOCTYPE ...>, <![CDATA[...]]>, <?pi?>
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>",
+    r"|<![^>]*>|<\?[^>]*\??>"    # <!DOCTYPE ...>, <?pi?>
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>",
     re.DOTALL,
 )
+
+# per-tag action bitmask: one dict probe replaces four set-membership
+# tests + an unconditional lower() in the per-token hot loop
+_BLOCK, _BOILER, _HEAD, _LINK, _DROP = 1, 2, 4, 8, 16
+_ACT: dict[str, int] = {}
+for _t in BLOCK_TAGS:
+    _ACT[_t] = _ACT.get(_t, 0) | _BLOCK
+for _t in BOILER_CONTAINERS:
+    _ACT[_t] = _ACT.get(_t, 0) | _BOILER
+for _t in HEADING_TAGS:
+    _ACT[_t] = _ACT.get(_t, 0) | _HEAD
+_ACT["a"] = _LINK
+for _t in DROP_TAGS:
+    _ACT[_t] = _DROP
+# common case variants resolve without the lower() fallback; anything
+# else (unknown or exotic-case tags) falls back per-token — nothing is
+# memoized at runtime, so adversarial tag soup can't grow the dict
+for _t, _a in list(_ACT.items()):
+    _ACT.setdefault(_t.upper(), _a)
+    _ACT.setdefault(_t.title(), _a)
+del _t, _a
 
 
 def segment_blocks(html: str) -> list[tuple[str, int, float, bool, bool]]:
@@ -74,15 +95,18 @@ def segment_blocks(html: str) -> list[tuple[str, int, float, bool, bool]]:
     link_chars = 0
     boiler = heading = link = 0
     drop_until: str | None = None
+    actions = _ACT
+    parts_append = parts.append
 
     def flush(cur_boiler: bool, cur_heading: bool) -> None:
-        nonlocal parts, total_chars, link_chars
-        if parts:
-            words = "".join(parts).split()
-            if words:
-                ld = (link_chars / total_chars) if total_chars else 0.0
-                blocks.append((" ".join(words), len(words), ld, cur_boiler, cur_heading))
-        parts, total_chars, link_chars = [], 0, 0
+        nonlocal total_chars, link_chars
+        words = "".join(parts).split()
+        if words:
+            ld = (link_chars / total_chars) if total_chars else 0.0
+            blocks.append((" ".join(words), len(words), ld, cur_boiler, cur_heading))
+        parts.clear()
+        total_chars = 0
+        link_chars = 0
 
     toks = _TOKEN_RE.split(html or "")
     data = toks[0]
@@ -91,33 +115,41 @@ def segment_blocks(html: str) -> list[tuple[str, int, float, bool, bool]]:
         if data and drop_until is None:
             if "&" in data:
                 data = unescape(data)
-            parts.append(data)
+            parts_append(data)
             total_chars += len(data)
             if link:
                 link_chars += len(data)
         if i >= n:
             break
-        closing, tag, _selfclose, data = toks[i], toks[i + 1], toks[i + 2], toks[i + 3]
-        i += 4
+        closing = toks[i]
+        tag = toks[i + 1]
+        data = toks[i + 2]
+        i += 3
         if tag is None:  # comment / declaration / PI
             continue
-        tag = tag.lower()
         if drop_until is not None:
-            if closing and tag == drop_until:
+            if closing and (tag == drop_until or tag.lower() == drop_until):
                 drop_until = None
             continue
-        if tag in DROP_TAGS and not closing:
-            drop_until = tag
+        act = actions.get(tag)
+        if act is None:
+            act = actions.get(tag.lower(), 0)
+            if not act:
+                continue
+        if act & _DROP:
+            if not closing:
+                drop_until = tag if tag in DROP_TAGS else tag.lower()
             continue
-        if tag in BLOCK_TAGS:
+        if act & _BLOCK and parts:
             flush(boiler > 0, heading > 0)
-        if tag in BOILER_CONTAINERS:
+        if act & _BOILER:
             boiler = max(0, boiler + (-1 if closing else 1))
-        if tag in HEADING_TAGS:
+        if act & _HEAD:
             heading = max(0, heading + (-1 if closing else 1))
-        elif tag == "a":
+        elif act & _LINK:
             link = max(0, link + (-1 if closing else 1))
-    flush(boiler > 0, heading > 0)
+    if parts:
+        flush(boiler > 0, heading > 0)
     return blocks
 
 

@@ -2,8 +2,12 @@
 analysis — the operations a 100 TB training-data pipeline needs beyond
 the reference's own operator set (first-class per the build brief).
 
-Oracle-able ops carry DuckDB SQL; hash-dependent ops (MinHash/LSH use
-Spark's xxhash64) are rows-only checks.
+Every op here carries a DuckDB oracle. The hash-dependent ones
+(MinHash/SimHash/LSH) use an engine-portable hash family — one
+md5-derived base hash per token plus affine permutations
+``(a_i·h + b_i) mod P`` — instead of Spark-only ``xxhash64``, so the
+oracle reproduces signatures bit-for-bit AND the Spark side pays one
+digest per token instead of one per (token, permutation).
 """
 
 from __future__ import annotations
@@ -14,6 +18,39 @@ from pyspark.sql import functions as F
 from .relational import load, register
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+# ---- portable universal-hash family (Spark ↔ DuckDB parity) ----
+P_HASH = 2147483647  # Mersenne prime 2^31 − 1
+_HALF = P_HASH // 2
+_MUL, _ADD1, _ADD2 = 2654435761, 40503, 2531011
+
+
+def md5_int(c):
+    """First 60 bits of md5(token) as int64, reduced mod P.
+
+    All intermediates stay < 2^62, so ANSI-mode int64 arithmetic never
+    overflows, and the identical value is computable in the DuckDB
+    oracle (``_SQL_H``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"), F.lit(P_HASH)
+    )
+
+
+def affine_hash(h, i):
+    """i-th permutation hash ``(a_i·h + b_i) mod P``; ``i`` may be a
+    Python int or a Column. a_i odd-multiplier-derived so the family is
+    pairwise-independent enough for MinHash/SimHash."""
+    a = ((i * 2 + 1) * F.lit(_MUL)) % F.lit(P_HASH)
+    b = (i * F.lit(_ADD1) + F.lit(_ADD2)) % F.lit(P_HASH)
+    return (a * h + b) % F.lit(P_HASH)
+
+
+# the same two functions as DuckDB SQL fragments (oracle twins)
+_SQL_H = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT) % 2147483647"
+_SQL_AFF = (
+    "((((({i}) * 2 + 1) * 2654435761) % 2147483647) * ({h})"
+    " + ((({i}) * 40503 + 2531011) % 2147483647)) % 2147483647"
+)
 
 
 # ------------------------------------------------------------ text stats ---
@@ -202,37 +239,69 @@ LSH_BANDS = 4  # 4 rows per band
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """MinHash over whitespace shingles via xxhash64 with per-permutation
-    seeds; all JVM-side column expressions (no Python)."""
+    """MinHash over whitespace shingles: one md5-derived base hash per
+    token, ``N_MINHASH`` affine permutations — all JVM-side column
+    expressions (no Python), bit-identical in the DuckDB oracle."""
     toks = F.array_distinct(F.split(F.lower("text"), " "))
+
+    def perm(i: int):
+        # single-param lambda: a 2-arg callable would make F.transform
+        # pass the ARRAY INDEX as the second argument, clobbering i
+        a = ((i * 2 + 1) * _MUL) % P_HASH
+        b = (i * _ADD1 + _ADD2) % P_HASH
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P_HASH)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i)))
-            )
+            F.array_min(F.transform(F.col("hs"), perm(i)))
             for i in range(N_MINHASH)
         ]
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return docs.withColumn("hs", F.transform(toks, md5_int)).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+_ROWS_PER_BAND = N_MINHASH // LSH_BANDS
 
 
 @register(
     "d4_minhash_lsh_candidates",
-    None,  # xxhash64 is Spark-specific — rows-only driver check
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+      FROM documents),
+    hs AS (SELECT doc_id, {_SQL_H.format(t='t')} AS h FROM toks),
+    sig AS (
+      SELECT doc_id, i, min({_SQL_AFF.format(i='i', h='h')}) AS s
+      FROM hs CROSS JOIN generate_series(0, {N_MINHASH - 1}) g(i)
+      GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {N_MINHASH // LSH_BANDS} AS band,
+             string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bucket
+      FROM sig GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
     "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket join. "
     "Scale path for d3 (no quadratic self-join; shuffle on band buckets)",
 )
 def d4_minhash_lsh_candidates(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    rows_per_band = N_MINHASH // LSH_BANDS
+    rows_per_band = _ROWS_PER_BAND
     bands = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -258,38 +327,69 @@ N_SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 
 
-def simhash_signs_expr():
+def simhash_signatures(docs: DataFrame) -> DataFrame:
     """SimHash signature as an array of 64 sign bits (0/1), all JVM-side.
 
     Random-hyperplane family: bit b = sign of Σ_tokens ±1, where the ±1
-    is the sign of ``xxhash64(token, b)`` — 64 independent hash
-    functions. (Spark's shiftleft/shiftright need literal shift amounts,
-    so the signature stays an array instead of being packed into one
-    int64 — arrays band/compare just as well.)"""
+    is whether ``affine_hash(md5_int(token), b)`` lands above P/2 — 64
+    affine functions of one base hash per token, bit-identical in the
+    DuckDB oracle. (Spark's shiftleft/shiftright need literal shift
+    amounts, so the signature stays an array instead of being packed
+    into one int64 — arrays band/compare just as well.)"""
     toks = F.array_distinct(F.split(F.lower("text"), " "))
-    return F.transform(
+    sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
         lambda b: F.when(
             F.aggregate(
-                toks,
+                F.col("hs"),
                 F.lit(0),
-                lambda acc, t: acc + F.when(F.xxhash64(t, b) > 0, 1).otherwise(-1),
+                lambda acc, h: acc
+                + F.when(affine_hash(h, b) > F.lit(_HALF), 1).otherwise(-1),
             )
             > 0,
             1,
         ).otherwise(0),
     )
+    return docs.withColumn("hs", F.transform(toks, md5_int)).select(
+        "doc_id", sig.alias("sig")
+    )
 
 
 @register(
     "d5_simhash_bands",
-    None,  # xxhash64-based — rows-only driver check
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(lower(text), ' ')),
+                            t -> {_SQL_H.format(t='t')}) AS hs
+      FROM documents WHERE doc_id < 2000),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN list_sum(list_transform(hs,
+                    h -> CASE WHEN {_SQL_AFF.format(i='b', h='h')} > 1073741823
+                         THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS bit
+      FROM docs CROSS JOIN generate_series(0, {N_SIMHASH_BITS - 1}) g(b)),
+    sigs AS (SELECT doc_id, list(bit ORDER BY b) AS sig FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band * {N_SIMHASH_BITS // SIMHASH_BANDS} + 1
+                                 : (band + 1) * {N_SIMHASH_BITS // SIMHASH_BANDS}],
+                             '') AS bucket
+      FROM sigs CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) g(band)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(list_zip(a.sig, b.sig), p -> p[1] <> p[2])) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
     "SimHash near-dup: 64-bit sign signature, 4×16-bit band buckets → "
     "candidate pairs whose signatures differ in ≤ 3 bits (hamming verify)",
 )
 def d5_simhash_bands(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    sigs = docs.select("doc_id", simhash_signs_expr().alias("sig"))
+    sigs = simhash_signatures(docs)
     rows = N_SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -297,7 +397,13 @@ def d5_simhash_bands(spark, sf_dir):
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows))
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        "",
+                    )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
@@ -475,9 +581,45 @@ def m2_video_frame_sample(spark, sf_dir):
 
 @register(
     "e3_ivf_bucketed_ann",
-    None,  # centroid assignment uses Spark float reduction order — rows-only
+    """
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv FROM embeddings WHERE vec_id < 8),
+    apairs AS (
+      SELECT e.vec_id, s.seed_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(s.sv) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN seeds s),
+    sims AS (
+      SELECT vec_id, seed_id,
+             round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+      FROM apairs GROUP BY vec_id, seed_id),
+    assigned AS (
+      SELECT vec_id, seed_id FROM (
+        SELECT vec_id, seed_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id ASC) AS rk
+        FROM sims) WHERE rk = 1),
+    q AS (
+      SELECT a.seed_id AS qseed, e.embedding AS qv
+      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+      WHERE a.vec_id = 0),
+    bucket AS (
+      SELECT e.vec_id, e.label,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM assigned a
+      JOIN embeddings e ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      WHERE a.seed_id = q.qseed AND e.vec_id <> 0)
+    SELECT vec_id, label,
+           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cos_sim
+    FROM bucket GROUP BY vec_id, label
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
     "IVF-style ANN scale path: assign each vector to nearest of K seed "
-    "centroids (vec_id 0..7 as seeds), search only the query's bucket",
+    "centroids (vec_id 0..7 as seeds), search only the query's bucket. "
+    "Assignment sim rounded to 6dp on both engines so float summation "
+    "order can't flip the argmax",
 )
 def e3_ivf_bucketed_ann(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -488,7 +630,7 @@ def e3_ivf_bucketed_ann(spark, sf_dir):
     cos = _cosine_expr(F.col("embedding"), F.col("sv"))
     assigned = (
         emb.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "label", "embedding", "seed_id", cos.alias("sim"))
+        .select("vec_id", "label", "embedding", "seed_id", F.round(cos, 6).alias("sim"))
         .withColumn(
             "rk",
             F.row_number().over(
