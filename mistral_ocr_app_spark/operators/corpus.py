@@ -141,6 +141,79 @@ def c3_lang_id_ngram(spark, sf_dir):
     )
 
 
+# BPE-ish pretokenizer: contraction suffixes, space-prefixed word/number
+# runs, punctuation runs (GPT-2-style, lookahead-free so the Java and
+# RE2 regex dialects agree — fixture-tested per SURVEY §2.8 X1)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal quoting
+
+
+@register(
+    "c4_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INT) AS n_numbers
+    FROM documents WHERE doc_id < 400
+    """,
+    "token counting, BPE-ish regex pretokenizer variant of c1 "
+    "(contractions / word runs / number runs / punctuation runs)",
+)
+def c4_bpe_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("int").alias("n_bpe"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[A-Za-z]+"), 0))
+        .cast("int")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), 0))
+        .cast("int")
+        .alias("n_numbers"),
+    )
+
+
+_FP_BASE = 1000003  # polynomial base; acc·B + h stays < 2^52 (ANSI-safe)
+
+
+@register(
+    "c5_rolling_fingerprint",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(lower(text), ' '),
+                                t -> {_SQL_H.format(t='t')})),
+               (acc, h) -> (acc * {_FP_BASE} + h) % 2147483647) AS fp
+      FROM documents)
+    SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY fp
+    """,
+    "document fingerprinting: polynomial rolling hash over the lowered "
+    "token stream (order-sensitive, case/token-exact) — the streaming "
+    "analog of d1's full-text hash; groups = rolling-hash dedup classes",
+)
+def c5_rolling_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    hs = F.transform(F.split(F.lower("text"), " "), md5_int)
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_FP_BASE) + h) % F.lit(P_HASH),
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- dedup ---
 
 
