@@ -63,3 +63,61 @@ def extract_stream(spark: SparkSession, transcripts_dir: str) -> DataFrame:
     streaming-compatible, so batch and streaming share one code path."""
     stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(transcripts_dir)
     return extract_turns(stream)
+
+
+_PROGRESS_OUT = (
+    "conv_id string, n_turns_seen long, max_turn_idx int, "
+    "n_chars long, n_batches int"
+)
+_PROGRESS_STATE = "n_turns_seen long, max_turn_idx int, n_chars long, n_batches int"
+
+
+def conversation_progress_stream(
+    spark: SparkSession,
+    transcripts_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-conversation progress — turns seen, highest turn_idx, chars,
+    micro-batches contributing — carried across micro-batches in the
+    state store. The streaming analog of the reference's incremental
+    ``total_images +=`` / progress-event accounting (app.py:611-630,
+    templates/index.html:475-487), upgraded to fault-tolerant keyed
+    state. Arrow-batched per group; no per-row Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(transcripts_dir)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, mx, ch, nb = state.get if state.exists else (0, -1, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                ch += int(pdf["text"].fillna("").str.len().sum())
+        nb += 1
+        state.update((n, mx, ch, nb))
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n_turns_seen": n,
+                    "max_turn_idx": mx,
+                    "n_chars": ch,
+                    "n_batches": nb,
+                }
+            ]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=_PROGRESS_OUT,
+        stateStructType=_PROGRESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -59,3 +59,37 @@ def test_stream_extraction_matches_batch(spark, fixture_paths, stream_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+@pytest.fixture(scope="module")
+def two_batch_dir(fixture_paths, tmp_path_factory):
+    """Source split into two files so maxFilesPerTrigger=1 forces state
+    to survive across two micro-batches."""
+    d = tmp_path_factory.mktemp("stream_src2")
+    t = pd.read_parquet(fixture_paths["transcripts"])
+    half = len(t) // 2
+    t.iloc[:half].to_parquet(d / "part-000.parquet", index=False)
+    t.iloc[half:].to_parquet(d / "part-001.parquet", index=False)
+    return str(d)
+
+
+def test_stateful_conversation_progress(spark, fixture_paths, two_batch_dir):
+    from mistral_ocr_app_spark.streaming.metrics import conversation_progress_stream
+
+    sdf = conversation_progress_stream(spark, two_batch_dir, max_files_per_trigger=1)
+    out = _run_to_memory(spark, sdf, "conv_progress", "update").toPandas()
+    # last emission per conversation = final accumulated state
+    final = (
+        out.sort_values("n_batches").groupby("conv_id").last().reset_index()
+    )
+    truth = (
+        pd.read_parquet(fixture_paths["transcripts"])
+        .groupby("conv_id")
+        .agg(n=("turn_idx", "size"), mx=("turn_idx", "max"))
+        .reset_index()
+    )
+    merged = final.merge(truth, on="conv_id")
+    assert len(merged) == len(truth)
+    assert (merged["n_turns_seen"] == merged["n"]).all()
+    assert (merged["max_turn_idx"] == merged["mx"]).all()
+    # state actually crossed a micro-batch boundary for split convs
+    assert (final["n_batches"] >= 2).any()
