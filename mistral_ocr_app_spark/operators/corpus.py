@@ -381,7 +381,14 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
             )
         ).alias("band", "bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # sort-merge self-join on (band, bucket), hinted: under small local
+    # stats Catalyst would broadcast the UNBOUNDED bands relation — a
+    # plan that cannot exist at 10^12 scale — and a groupBy+in-array
+    # pair expansion concentrates each mega-bucket's k²/2 pairs into
+    # one task (measured 3× slower here: max bucket 2649 docs). SMJ
+    # streams pairs, AQE skew-join splits hot (band, bucket) partitions,
+    # and it is the shape that survives a 1000-executor corpus.
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     return (
         a.join(
             b,
