@@ -31,9 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # this engine's reduce stages (ordered assembly: collect_list +
         # array_sort + string building) are CPU-heavy per byte, so the
-        # 64m default advisory size over-coalesces them; 8m keeps the
-        # post-shuffle stage wide (measured 1.5× on assembly at 32 cores)
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # 64m default advisory size over-coalesces them. Measured on the
+        # skewed bench corpus at 32 cores: 64m→8m gained 1.5×, 8m→2m
+        # another 2× (169k turns: 2.9s→1.2s; 1M turns: 4.8s→2.4s);
+        # 1m over-splits the larger shuffle and regresses
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
