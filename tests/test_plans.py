@@ -74,3 +74,13 @@ def test_topk_uses_take_ordered(spark):
 def test_whole_stage_codegen_in_scalar_queries(spark):
     plan = _plan(Q["x5_translate_normalize"](spark, SF_DIR))
     assert "*(1)" in plan  # WholeStageCodegen stage marker
+
+
+def test_lsh_self_join_is_sort_merge_not_broadcast(spark):
+    """d4's bands⋈bands self-join must stay a sort-merge join: under
+    small local stats Catalyst would broadcast the UNBOUNDED bands
+    relation — a plan shape that cannot exist at 10^12 scale — and
+    re-evaluate the minhash subtree on both sides."""
+    plan = _plan(Q["d4_minhash_lsh_candidates"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
