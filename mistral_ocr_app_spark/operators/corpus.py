@@ -734,3 +734,100 @@ def e3_ivf_bucketed_ann(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+N_HYPERPLANES = 8
+EMB_DIM = 64
+
+
+def hyperplane_bits(vec):
+    """Random-hyperplane LSH signature for an embedding: bit p is the
+    sign of ⟨v, w_p⟩ with pseudo-random hyperplanes w_p[d] derived from
+    the portable affine hash of (p·DIM + d) — deterministic, no stored
+    weight matrix, identical in the DuckDB oracle. The dot is rounded
+    to 6dp before the sign test so float summation order can't flip a
+    boundary bit."""
+    P = F.lit(P_HASH)
+
+    def w(p, d):
+        idx = (p * EMB_DIM + d) * 2 + 1
+        return (
+            ((idx * F.lit(_MUL) + F.lit(_ADD2)) % P).cast("double")
+            / F.lit(float(P_HASH))
+            - F.lit(0.5)
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
+        lambda p: F.when(
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                    F.lit(0.0),
+                    lambda acc, d: acc
+                    + F.element_at(vec, d + F.lit(1)).cast("double") * w(p, d),
+                ),
+                6,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+_SQL_HYPER_BITS = """
+      list_transform(generate_series(0, 7), p ->
+        CASE WHEN round(list_sum(list_transform(generate_series(0, 63),
+          d -> CAST(embedding[d + 1] AS DOUBLE) *
+               (CAST((((p * 64 + d) * 2 + 1) * 2654435761 + 2531011)
+                     % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))), 6) > 0
+        THEN 1 ELSE 0 END)
+"""
+
+
+@register(
+    "e4_hyperplane_lsh_ann",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, label, embedding,
+             array_to_string({_SQL_HYPER_BITS}, '') AS bucket
+      FROM embeddings),
+    q AS (SELECT bucket AS qbucket, embedding AS qv FROM sigs WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id, s.label,
+             CAST(unnest(s.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qv) AS DOUBLE) AS y
+      FROM sigs s CROSS JOIN q
+      WHERE s.bucket = q.qbucket AND s.vec_id <> 0)
+    SELECT vec_id, label,
+           round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cos_sim
+    FROM cand GROUP BY vec_id, label
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "hyperplane-LSH ANN scale path (complement of e3's IVF): 8 sign bits "
+    "from deterministic pseudo-random hyperplanes bucket the vectors; "
+    "search only the query's bucket. No training step, no weight matrix "
+    "to ship — hyperplanes are regenerated from the hash family",
+)
+def e4_hyperplane_lsh_ann(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_join(
+            F.transform(hyperplane_bits(F.col("embedding")), lambda b: b.cast("string")),
+            "",
+        ).alias("bucket"),
+    )
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+    cos = _cosine_expr(F.col("embedding"), F.col("qv"))
+    return (
+        sigs.join(F.broadcast(q), sigs.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
