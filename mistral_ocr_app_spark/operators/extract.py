@@ -130,6 +130,26 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
     return transcripts.select(*cols).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
 
 
+def salted_repartition(
+    transcripts: DataFrame, n_partitions: int, salt: int = 16
+) -> DataFrame:
+    """conv_id-salted repartition (SURVEY §4.3): partition key is
+    (conv_id, xxhash64(turn_idx) mod salt), so one pathological
+    conversation spreads across up to ``salt`` partitions instead of
+    pinning a single task. Extraction is per-turn parallel, so salting
+    cannot change results (pinned by the shuffle-invariance property
+    test); assembly re-shuffles by bare conv_id afterwards regardless.
+
+    Use when the upstream file layout is conversation-clustered (e.g.
+    ingest wrote one file per conversation); when the scan partitioning
+    is already uniform, prefer the shuffle-free narrow path."""
+    return transcripts.repartition(
+        n_partitions,
+        F.col("conv_id"),
+        F.pmod(F.xxhash64("turn_idx"), F.lit(salt)),
+    )
+
+
 @F.pandas_udf(T.ArrayType(SPAN_STRUCT))
 def parse_spans_udf(tool: pd.Series) -> pd.Series:
     """V3 — span-source payload → ordered span structs (app.py:273-360

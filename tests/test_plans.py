@@ -84,3 +84,40 @@ def test_lsh_self_join_is_sort_merge_not_broadcast(spark):
     plan = _plan(Q["d4_minhash_lsh_candidates"](spark, SF_DIR))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_repartition_spreads_heavy_conv_and_preserves_results(
+    spark, fixture_paths
+):
+    """conv_id-salted repartition (SURVEY §4.3): a pathological
+    conversation must spread across multiple partitions, and salting
+    must not change extraction output."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_app_spark.operators.extract import salted_repartition
+
+    t = read_transcripts(spark, fixture_paths["transcripts"])
+    heavy = t.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+    salted = salted_repartition(t, 16, salt=8)
+    n_parts = (
+        salted.filter(F.col("conv_id") == heavy)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts >= 2
+    got = (
+        extract_turns(salted)
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)
