@@ -24,6 +24,7 @@ Pure Python; called from a pandas UDF (operators/extract.py).
 from __future__ import annotations
 
 import json
+from operator import itemgetter
 from typing import Any
 
 DPI_DEFAULT = 200  # app.py:273
@@ -96,6 +97,53 @@ def parse_span_source(payload: str) -> list[dict[str, Any]]:
 def spans_to_text(spans: list[dict[str, Any]]) -> str:
     """Ordered text-span concatenation (text-kind spans, ``"\\n"``-joined)."""
     return "\n".join(s["text"] for s in spans if s["kind"] == "text" and s["text"])
+
+
+def span_text_stats(payload: str) -> tuple[str, int, int]:
+    """(ordered_text, n_spans, n_image_spans) for the extract_turns hot
+    path: same parse/filter/order semantics as ``parse_span_source`` +
+    ``spans_to_text`` (pinned by test + golden gate) but skips building
+    the span structs — tuples, one stable sort, one join."""
+    if not payload:
+        return "", 0, 0
+    try:
+        doc = json.loads(payload)
+    except (json.JSONDecodeError, TypeError):
+        return "", 0, 0
+    if not isinstance(doc, dict):
+        return "", 0, 0
+    by_page: dict[int, list] = {}
+    for page in doc.get("pages", []) or []:
+        page_idx = int(page.get("index", 0))
+        blocks = by_page.setdefault(page_idx, [])
+        for blk in page.get("blocks", []) or []:
+            bbox = blk.get("bbox") or None
+            if not bbox or len(bbox) != 4:
+                y0 = x0 = 0.0
+            else:
+                x0, y0 = float(bbox[0]), float(bbox[1])
+            kind = blk.get("kind", "text")
+            if kind == "image" and int(blk.get("channels", 3)) - int(
+                blk.get("alpha", 0)
+            ) >= 4:
+                continue
+            blocks.append((y0, x0, kind, blk.get("text", "") or ""))
+    parts: list[str] = []
+    n_spans = n_images = 0
+    sort_key = itemgetter(0, 1)
+    for page_idx in sorted(by_page):
+        blocks = by_page[page_idx]
+        # key on (y0, x0) ONLY — ties must keep insertion order exactly
+        # like parse_span_source's dict sort (Python sort stability)
+        blocks.sort(key=sort_key)
+        for _y0, _x0, kind, text in blocks:
+            n_spans += 1
+            if kind == "image":
+                n_images += 1
+            elif kind == "text" and text:
+                parts.append(text)
+    return "\n".join(parts), n_spans, n_images
+
 
 
 def page_raster_meta(payload: str, dpi: int = DPI_DEFAULT) -> list[dict[str, Any]]:

@@ -66,16 +66,8 @@ SPAN_STRUCT = T.StructType(
 def _extract_one(text: str | None, tool: str | None, turn_idx: int) -> tuple:
     """(kind, extracted_text, n_refs, n_images, n_rewritten, n_spans, valid)."""
     if tool:
-        spans = sp.parse_span_source(tool)
-        return (
-            KIND_SPANS,
-            sp.spans_to_text(spans),
-            0,
-            sum(1 for s in spans if s["kind"] == "image"),
-            0,
-            len(spans),
-            True,
-        )
+        text_out, n_spans, n_images = sp.span_text_stats(tool)
+        return (KIND_SPANS, text_out, 0, n_images, 0, n_spans, True)
     kind = classify_payload(text)
     if kind == KIND_EMPTY:
         return (kind, "", 0, 0, 0, 0, True)

@@ -81,3 +81,23 @@ def test_raster_meta_scale():
     meta = page_raster_meta(payload, dpi=200)
     # 612pt * 200/72 = 1700px, 792pt * 200/72 = 2200px (app.py:286 matrix)
     assert meta == [{"page_num": 0, "width": 1700, "height": 2200}]
+
+
+def test_span_text_stats_equals_struct_path():
+    """The hot-path shortcut must reproduce parse_span_source +
+    spans_to_text exactly (ordering ties included) on every fixture
+    span payload."""
+    from mistral_ocr_app_spark.fixtures.transcripts import generate_transcripts
+    from mistral_ocr_app_spark.functions import spans as sp
+
+    tr, _, _ = generate_transcripts(n_convs=120, seed=77)
+    payloads = [t for t in tr["tool"] if t]
+    assert payloads
+    for payload in payloads:
+        full = sp.parse_span_source(payload)
+        expected = (
+            sp.spans_to_text(full),
+            len(full),
+            sum(1 for s in full if s["kind"] == "image"),
+        )
+        assert sp.span_text_stats(payload) == expected
