@@ -132,3 +132,37 @@ def run_extraction_with_lineage(
         "n_committed_before": len(done),
         "n_committed_now": n_now,
     }
+
+
+def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit committed buckets: recompute (n_turns, fingerprint) from the
+    data actually on disk and compare with the lineage rows. Returns the
+    mismatch set — empty ⟺ every committed bucket's bytes still produce
+    the fingerprint recorded at commit time (detects partial writes,
+    manual edits, bit-rot; the at-scale analog of the reference's
+    validate_ocr_response production checks, app.py:142-177).
+
+    The fingerprint is bit_xor of row hashes, so verification is
+    order-insensitive and runs as one pass over the data."""
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    lineage = (
+        spark.read.parquet(os.path.join(out_dir, "_lineage"))
+        .filter(F.col("status") == "done")
+        .select("bucket", "n_turns", "fingerprint")
+    )
+    actual = data.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("actual_n_turns"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, extracted_text))").alias(
+            "actual_fingerprint"
+        ),
+    )
+    return (
+        lineage.join(actual, "bucket", "full_outer")
+        .filter(
+            (F.col("n_turns").isNull())
+            | (F.col("actual_n_turns").isNull())
+            | (F.col("n_turns") != F.col("actual_n_turns"))
+            | (F.col("fingerprint") != F.col("actual_fingerprint"))
+        )
+        .orderBy("bucket")
+    )

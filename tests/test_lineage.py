@@ -152,3 +152,36 @@ def test_extraction_output_matches_golden_via_lineage_path(spark, outputs, fixtu
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+
+def test_verify_lineage_clean_and_corrupted(spark, outputs):
+    """Fingerprint audit: clean output verifies empty; corrupting one
+    bucket's data (extra row) flags exactly that bucket."""
+    from mistral_ocr_app_spark.plans.lineage import verify_lineage
+
+    oneshot, *_ = outputs
+    assert verify_lineage(spark, oneshot).count() == 0
+
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    corrupt = str(oneshot) + "_corrupt"
+    shutil.copytree(oneshot, corrupt)
+    victim = sorted(glob.glob(f"{corrupt}/data/bucket=*"))[0]
+    bucket_id = int(victim.rsplit("=", 1)[1])
+    pd.DataFrame(
+        {
+            "conv_id": ["INJECTED"], "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"], "ts": pd.to_datetime(["2020-01-01"]).astype("datetime64[us]"),
+            "kind": ["markdown"], "extracted_text": ["tampered"],
+            "n_refs": pd.array([0], dtype="int32"),
+            "n_images": pd.array([0], dtype="int32"),
+            "n_rewritten": pd.array([0], dtype="int32"),
+            "n_spans": pd.array([0], dtype="int32"), "valid": [True],
+        }
+    ).to_parquet(f"{victim}/part-injected.parquet", index=False)
+    bad = verify_lineage(spark, corrupt).collect()
+    assert [r["bucket"] for r in bad] == [bucket_id]
+    assert bad[0]["actual_n_turns"] == bad[0]["n_turns"] + 1
