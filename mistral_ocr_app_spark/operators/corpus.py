@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .relational import load, register
+from .registry import load, register
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
 
@@ -56,16 +56,25 @@ _SQL_AFF = (
 # ------------------------------------------------------------ text stats ---
 
 
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal quoting
+
+
 @register(
     "c1_token_count",
-    """
+    f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INT)
-             AS n_distinct_tokens
+             AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INT) AS n_numbers
     FROM documents WHERE doc_id < 400
     """,
-    "token counting (whitespace tokenizer) over documents",
+    "token counting over documents — whitespace tokenizer AND the "
+    "BPE-ish regex pretokenizer (contractions / word runs / number runs "
+    "/ punctuation runs; lookahead-free so Java and RE2 dialects agree)",
 )
 def c1_token_count(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
@@ -74,6 +83,13 @@ def c1_token_count(spark, sf_dir):
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("int").alias("n_bpe"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[A-Za-z]+"), 0))
+        .cast("int")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), 0))
+        .cast("int")
+        .alias("n_numbers"),
     )
 
 
@@ -138,39 +154,6 @@ def c3_lang_id_ngram(spark, sf_dir):
         "doc_id",
         "lang",
         F.when(en >= es, "latin-en").otherwise("latin-es").alias("guessed_family"),
-    )
-
-
-# BPE-ish pretokenizer: contraction suffixes, space-prefixed word/number
-# runs, punctuation runs (GPT-2-style, lookahead-free so the Java and
-# RE2 regex dialects agree — fixture-tested per SURVEY §2.8 X1)
-_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal quoting
-
-
-@register(
-    "c4_bpe_token_count",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
-           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS INT) AS n_words,
-           CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INT) AS n_numbers
-    FROM documents WHERE doc_id < 400
-    """,
-    "token counting, BPE-ish regex pretokenizer variant of c1 "
-    "(contractions / word runs / number runs / punctuation runs)",
-)
-def c4_bpe_token_count(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("int").alias("n_bpe"),
-        F.size(F.regexp_extract_all("text", F.lit(" ?[A-Za-z]+"), 0))
-        .cast("int")
-        .alias("n_words"),
-        F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), 0))
-        .cast("int")
-        .alias("n_numbers"),
     )
 
 
@@ -628,35 +611,6 @@ def d6_embedding_neardup(spark, sf_dir):
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
     )
-
-
-@register(
-    "m1_media_features",
-    None,  # decode stub is engine-side — rows-only driver check
-    "multimodal: binary media column → decode/feature-extract via "
-    "mapInPandas (real magic-byte sniff + PNG header parse; pixel decode "
-    "stubbed deterministically — codecs absent in this container)",
-)
-def m1_media_features(spark, sf_dir):
-    from .multimodal import extract_media_features, media_from_documents
-
-    media = media_from_documents(load(spark, sf_dir, "documents"))
-    return extract_media_features(media)
-
-
-@register(
-    "m2_video_frame_sample",
-    None,
-    "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
-    "(mapInPandas fan-out batch shape)",
-)
-def m2_video_frame_sample(spark, sf_dir):
-    from .multimodal import media_from_documents, sample_video_frames
-
-    media = media_from_documents(
-        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    )
-    return sample_video_frames(media, every_k=16)
 
 
 @register(

@@ -222,21 +222,51 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     )
 
 
+# PNG magic + IHDR chunk length/type — the 16 bytes preceding the
+# big-endian width/height fields (public PNG spec)
+_PNG_PREFIX = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+
+# per-row synthetic dims: non-constant so the m1_png_dims oracle checks a
+# real big-endian round-trip (Spark builds the header bytes; the feature
+# extractor's struct.unpack must recover exactly these values).
+# Lazy (functions, not module-level Columns): F.col needs a live session.
+def _png_w():
+    return 320 + (F.col("doc_id") % 5) * 64
+
+
+def _png_h():
+    return 240 + (F.col("doc_id") % 7) * 32
+
+
+_PNG_DIMS_SQL = (
+    "CAST(320 + (doc_id % 5) * 64 AS INT)",
+    "CAST(240 + (doc_id % 7) * 32 AS INT)",
+)
+
+
+def _be32(col) -> "F.Column":
+    """int column → 4 big-endian bytes (hex → lpad 8 → unhex)."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from ``documents`` for tests and
-    the driver's rows-only checks: content = text bytes with a real PNG
-    header for every 3rd row (exercises the real header-parse path)."""
+    the driver checks: content = text bytes with a real PNG header (IHDR
+    width/height varying per row) for every 3rd row, exercising the real
+    header-parse path end to end."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "video")
         .otherwise("audio")
     )
-    png_header = bytes.fromhex("89504e470d0a1a0a0000000d49484452") + struct.pack(
-        ">II", 640, 480
-    )
     content = F.when(
         F.col("doc_id") % 3 == 0,
-        F.concat(F.lit(png_header), F.encode("text", "utf-8")),
+        F.concat(
+            F.lit(_PNG_PREFIX),
+            _be32(_png_w()),
+            _be32(_png_h()),
+            F.encode("text", "utf-8"),
+        ),
     ).otherwise(F.encode("text", "utf-8"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -247,3 +277,56 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.octet_length("text").cast("int").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------- catalog ---
+
+from .registry import load, register  # noqa: E402
+
+
+@register(
+    "m1_media_features",
+    None,  # decode stub is engine-side — rows-only driver check
+    "multimodal: binary media column → decode/feature-extract via "
+    "mapInPandas (real magic-byte sniff + PNG header parse; pixel decode "
+    "stubbed deterministically — codecs absent in this container)",
+)
+def m1_media_features(spark, sf_dir):
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+@register(
+    "m1_png_dims",
+    f"""
+    SELECT doc_id AS media_id, 'png' AS format,
+           {_PNG_DIMS_SQL[0]} AS width,
+           {_PNG_DIMS_SQL[1]} AS height,
+           TRUE AS decoded
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    "multimodal value oracle on the NON-stubbed portion of m1: Spark "
+    "builds per-row PNG IHDR headers (big-endian width/height), the "
+    "extractor's real struct.unpack must recover them through the full "
+    "binary-Arrow-batch path — hash-level verified against DuckDB",
+)
+def m1_png_dims(spark, sf_dir):
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return (
+        extract_media_features(media)
+        .filter(F.col("format") == "png")
+        .select("media_id", "format", "width", "height", "decoded")
+    )
+
+
+@register(
+    "m2_video_frame_sample",
+    None,
+    "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
+    "(mapInPandas fan-out batch shape)",
+)
+def m2_video_frame_sample(spark, sf_dir):
+    media = media_from_documents(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+    return sample_video_frames(media, every_k=16)

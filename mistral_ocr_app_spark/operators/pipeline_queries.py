@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .assemble import assemble_conversations_app
 from .extract import extract_turns
-from .relational import load, register
+from .registry import load, register
 
 N_CONVS_MOD = 100
 
@@ -41,12 +41,24 @@ def derive_transcripts(docs: DataFrame) -> DataFrame:
     )
     turn_idx = F.floor(F.col("doc_id") / N_CONVS_MOD).cast("int")
     variant = F.col("doc_id") % 4
+    # HTML-escape the embedded text so the wrap is valid HTML for ANY
+    # corpus content ('<', '&' in documents.text must not change the
+    # markup structure); the stripper's unescape restores the original
+    html_esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     text = (
         F.when(
             variant == 0,
             F.concat(
                 F.lit('<html><body><nav><a href="/">home</a></nav><p>'),
-                F.col("text"),
+                html_esc,
                 F.lit("</p></body></html>"),
             ),
         )
@@ -66,18 +78,29 @@ def derive_transcripts(docs: DataFrame) -> DataFrame:
     tail = F.array_join(
         F.slice(words, 4, F.greatest(F.size(words) - 3, F.lit(0))), " "
     )
-    tool = F.when(
-        variant == 3,
-        F.concat(
-            F.lit('{"pages":[{"index":0,"blocks":['
-                  '{"text":"'),
-            tail,
-            F.lit('","bbox":[10.0,200.0,300.0,212.0],"kind":"text"},'
-                  '{"text":"'),
-            head,
-            F.lit('","bbox":[10.0,50.0,300.0,62.0],"kind":"text"}]}]}'),
-        ),
-    ).otherwise(F.lit(""))
+    # build the span-source doc as a STRUCT and serialize with to_json so
+    # quotes/backslashes/control chars in documents.text are escaped
+    # correctly (raw concat would break json.loads on such corpora)
+    def _block(txt, y0):
+        return F.struct(
+            txt.alias("text"),
+            F.array(F.lit(10.0), F.lit(y0), F.lit(300.0), F.lit(y0 + 12.0)).alias(
+                "bbox"
+            ),
+            F.lit("text").alias("kind"),
+        )
+
+    tool_json = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("index"),
+                    F.array(_block(tail, 200.0), _block(head, 50.0)).alias("blocks"),
+                )
+            ).alias("pages")
+        )
+    )
+    tool = F.when(variant == 3, tool_json).otherwise(F.lit(""))
     return docs.select(
         conv_id.alias("conv_id"),
         turn_idx.alias("turn_idx"),
@@ -109,7 +132,10 @@ _PER_TURN_SQL = f"""
                 WHEN variant = 3 THEN 'spans'
                 ELSE 'markdown' END AS kind,
            CASE WHEN variant = 0 THEN
-                  (CASE WHEN len(string_split(text, ' ')) >= 10 THEN text ELSE '' END)
+                  (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+                        THEN list_aggr(regexp_split_to_array(trim(text), '\\s+'),
+                                       'string_agg', ' ')
+                        ELSE '' END)
                 WHEN variant = 1 THEN
                   text || chr(10) || chr(10) || '![fig](/image/page_' ||
                   CAST(turn_idx AS VARCHAR) || '_extracted_img-0_jpeg.jpeg)'

@@ -14,33 +14,10 @@ cite /root/reference/ file:line for the behavior being mirrored.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-@dataclass
-class QueryDef:
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None → non-SQL-expressible, driver does rows-only check
-    doc: str = ""
-
-
-CATALOG: dict[str, QueryDef] = {}
-
-
-def register(name: str, sql: str | None, doc: str = ""):
-    def deco(fn):
-        CATALOG[name] = QueryDef(fn=fn, sql=sql, doc=doc)
-        return fn
-
-    return deco
+from .registry import CATALOG, QueryDef, load, register  # noqa: F401 (re-export)
 
 
 # =====================================================================
@@ -69,24 +46,32 @@ def s1_scan_project_filter(spark, sf_dir):
     """
     SELECT doc_id,
            'https://drive.google.com/uc?export=download&id=f' ||
-             CAST(doc_id AS VARCHAR) AS direct_url
+             CAST(doc_id AS VARCHAR) AS direct_url,
+           '/image/' || regexp_extract('/tmp/uploads/img_' ||
+             CAST(doc_id AS VARCHAR) || '.png', '([^/]+)$', 1) AS url
     FROM documents WHERE doc_id % 3 = 0
     """,
-    "S3: drive.google.com/file/d/<id> → uc?export=download (app.py:362-376)",
+    "S3+P4: drive.google.com/file/d/<id> → uc?export=download "
+    "(app.py:362-376) and img.url = '/image/' + basename(path) "
+    "(app.py:902-921) — both URL-derivation ops, one scan",
 )
 def s3_gdrive_url_rewrite(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    url = F.concat(
+    gurl = F.concat(
         F.lit("https://drive.google.com/file/d/f"),
         F.col("doc_id").cast("string"),
         F.lit("/view"),
     )
-    file_id = F.regexp_extract(url, r"/file/d/([^/]+)", 1)
+    file_id = F.regexp_extract(gurl, r"/file/d/([^/]+)", 1)
+    path = F.concat(
+        F.lit("/tmp/uploads/img_"), F.col("doc_id").cast("string"), F.lit(".png")
+    )
     return docs.select(
         "doc_id",
         F.concat(
             F.lit("https://drive.google.com/uc?export=download&id="), file_id
         ).alias("direct_url"),
+        F.concat(F.lit("/image/"), F.element_at(F.split(path, "/"), -1)).alias("url"),
     )
 
 
@@ -95,46 +80,21 @@ def s3_gdrive_url_rewrite(spark, sf_dir):
     """
     SELECT doc_id,
            '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"}'
-             AS meta_json
+             AS meta_json,
+           list_aggr(list_transform(string_split(text, ' ')[1:3], w -> upper(w)),
+                     'string_agg', '|') AS head_upper
     FROM documents WHERE doc_id < 100
     """,
-    "S9: payload-dropping JSON metadata projection (app.py:829-841)",
+    "S9+P2: payload-dropping JSON metadata projection (app.py:829-841) + "
+    "array-of-struct transform() projection (app.py:831-838)",
 )
 def s9_json_projection(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select(
-            "doc_id",
-            F.to_json(F.struct(F.col("doc_id"), F.col("lang"))).alias("meta_json"),
-        )
-    )
-
-
-@register(
-    "s11_svg_placeholder",
-    """
-    SELECT p_partkey,
-           '<svg width="' || CAST(p_size * 10 AS VARCHAR) || '" height="' ||
-             CAST(p_size * 5 AS VARCHAR) || '"><text>' || p_name ||
-             '</text></svg>' AS svg
-    FROM part WHERE p_size >= 30
-    """,
-    "S11: templated SVG synthesis as a column expr (app.py:248-271)",
-)
-def s11_svg_placeholder(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_size") >= 30)
-        .select(
-            "p_partkey",
-            F.format_string(
-                '<svg width="%d" height="%d"><text>%s</text></svg>',
-                F.col("p_size") * 10,
-                F.col("p_size") * 5,
-                F.col("p_name"),
-            ).alias("svg"),
-        )
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    head = F.slice(F.split("text", " "), 1, 3)
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"))).alias("meta_json"),
+        F.array_join(F.transform(head, lambda w: F.upper(w)), "|").alias("head_upper"),
     )
 
 
@@ -152,11 +112,14 @@ def s11_svg_placeholder(spark, sf_dir):
              CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.PNG'
                   WHEN 2 THEN '.jpg' WHEN 3 THEN '.txt' ELSE '.docx' END AS fname
       FROM documents)
-    SELECT doc_id, fname FROM named
+    SELECT doc_id, fname,
+           lower(regexp_extract(fname, '\\.([^.]+)$', 1)) AS ext
+    FROM named
     WHERE lower(regexp_extract(fname, '\\.([^.]+)$', 1))
           IN ('pdf','png','jpg','jpeg','docx')
     """,
-    "F1: extension allow-list on lowercase rsplit (app.py:54-57)",
+    "F1+X8: extension allow-list on lowercase rsplit('.',1)[1] "
+    "(app.py:54-57) — the split itself is the X8 op, emitted as a column",
 )
 def f1_extension_allowlist(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -170,21 +133,31 @@ def f1_extension_allowlist(spark, sf_dir):
     )
     named = docs.select("doc_id", fname.alias("fname"))
     ext = F.lower(F.substring_index(F.col("fname"), ".", -1))
-    return named.filter(ext.isin("pdf", "png", "jpg", "jpeg", "docx"))
+    return named.withColumn("ext", ext).filter(
+        ext.isin("pdf", "png", "jpg", "jpeg", "docx")
+    )
 
 
 @register(
     "f2_size_guard",
     """
-    SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents
-    WHERE strlen(text) <= 400
+    SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+           coalesce(try_cast(substring(text, 1, 2) AS INT), 0) AS as_int,
+           coalesce(try_cast(lang AS DOUBLE), 0.0) AS as_double
+    FROM documents WHERE strlen(text) <= 400
     """,
-    "F2: max-size guard (app.py:44,393-395; 50 MB → 400 B stand-in)",
+    "F2+Y9: max-size guard (app.py:44,393-395; 50 MB → 400 B stand-in) + "
+    "type-tag cast with swallow-to-default (settings_manager.py:376-391)",
 )
 def f2_size_guard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.octet_length("text").cast("int").alias("n_bytes")
+        "doc_id",
+        F.octet_length("text").cast("int").alias("n_bytes"),
+        F.coalesce(
+            F.expr("try_cast(substring(text, 1, 2) AS INT)"), F.lit(0)
+        ).alias("as_int"),
+        F.coalesce(F.expr("try_cast(lang AS DOUBLE)"), F.lit(0.0)).alias("as_double"),
     ).filter(F.octet_length("text") <= 400)
 
 
@@ -229,44 +202,6 @@ def f7_has_items_predicate(spark, sf_dir):
     ).filter(F.size(long_words) > 0)
 
 
-@register(
-    "p2_payload_dropping_projection",
-    """
-    SELECT doc_id,
-           list_aggr(list_transform(string_split(text, ' ')[1:3], w -> upper(w)),
-                     'string_agg', '|') AS head_upper
-    FROM documents WHERE doc_id < 200
-    """,
-    "P2: array-of-struct payload-dropping transform() (app.py:831-838)",
-)
-def p2_payload_dropping_projection(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    head = F.slice(F.split("text", " "), 1, 3)
-    return docs.select(
-        "doc_id",
-        F.array_join(F.transform(head, lambda w: F.upper(w)), "|").alias("head_upper"),
-    )
-
-
-@register(
-    "p4_url_enrichment",
-    """
-    SELECT doc_id,
-           '/image/' || regexp_extract('/tmp/uploads/img_' ||
-             CAST(doc_id AS VARCHAR) || '.png', '([^/]+)$', 1) AS url
-    FROM documents WHERE doc_id % 4 = 1
-    """,
-    "P4: img.url = '/image/' + basename(path) (app.py:902-921)",
-)
-def p4_url_enrichment(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
-    path = F.concat(F.lit("/tmp/uploads/img_"), F.col("doc_id").cast("string"), F.lit(".png"))
-    return docs.select(
-        "doc_id",
-        F.concat(F.lit("/image/"), F.element_at(F.split(path, "/"), -1)).alias("url"),
-    )
-
-
 # =====================================================================
 # §2.3 joins
 # =====================================================================
@@ -283,50 +218,17 @@ def p4_url_enrichment(spark, sf_dir):
       SELECT user_id, event_id,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
       FROM events WHERE event_type = 'error')
-    SELECT c.user_id, c.pos,
-           c.event_id AS click_id, e.event_id AS error_id
-    FROM clicks c JOIN errors e ON c.user_id = e.user_id AND c.pos = e.pos
-    """,
-    "J1/J2: k-th ↔ k-th positional pairing via row_number (app.py:92-112,674-681)",
-)
-def j1_positional_join(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
-    )
-    errors = (
-        ev.filter(F.col("event_type") == "error")
-        .select("user_id", "event_id", F.row_number().over(w).alias("pos"))
-    )
-    return clicks.alias("c").join(errors.alias("e"), ["user_id", "pos"]).select(
-        "user_id",
-        "pos",
-        F.col("c.event_id").alias("click_id"),
-        F.col("e.event_id").alias("error_id"),
-    )
-
-
-@register(
-    "j2_positional_left_outer",
-    """
-    WITH clicks AS (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
-      FROM events WHERE event_type = 'click'),
-    errors AS (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
-      FROM events WHERE event_type = 'error')
     SELECT c.user_id, c.pos, c.event_id AS click_id,
-           e.event_id AS adopted_error_id
+           e.event_id AS adopted_error_id,
+           CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END AS matched
     FROM clicks c LEFT JOIN errors e ON c.user_id = e.user_id AND c.pos = e.pos
     """,
-    "J2: j-th empty-b64 image adopts j-th fallback image; unmatched keeps "
-    "NULL path (app.py:674-681, warning at :681)",
+    "J1+J2: k-th ↔ k-th positional pairing via row_number, left-outer "
+    "form — j-th empty-b64 image adopts j-th fallback image, unmatched "
+    "keeps NULL (app.py:92-112,674-681; warning at :681). The inner-join "
+    "variant is the matched=1 subset (value-verified via the flag)",
 )
-def j2_positional_left_outer(spark, sf_dir):
+def j1_positional_join(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     clicks = (
@@ -342,6 +244,7 @@ def j2_positional_left_outer(spark, sf_dir):
         "pos",
         F.col("c.event_id").alias("click_id"),
         F.col("e.event_id").alias("adopted_error_id"),
+        F.when(F.col("e.event_id").isNotNull(), 1).otherwise(0).alias("matched"),
     )
 
 
@@ -407,36 +310,33 @@ def j5_dict_lookup_join(spark, sf_dir):
 
 
 @register(
-    "j6_anti_join_insert_if_absent",
+    "j6_semi_anti_membership",
     """
-    SELECT c.c_custkey, c.c_name FROM customer c
+    SELECT c.c_custkey, c.c_name AS val, 'no_orders' AS tag FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    "J6/U3: INSERT OR IGNORE ≡ left_anti (init_db.py:108-113)",
-)
-def j6_anti_join_insert_if_absent(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "j7_semi_join_lookup",
-    """
-    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment AS val, 'has_big_order' AS tag
+    FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_totalprice > 200000)
     """,
-    "J7: keyed EXISTS lookup (settings_manager.py:49-53 analog)",
+    "J6+J7/U3: INSERT OR IGNORE ≡ left_anti (init_db.py:108-113) and "
+    "keyed EXISTS lookup ≡ left_semi (settings_manager.py:49-53) — "
+    "union-tagged so both join strategies are value-verified in one plan",
 )
-def j7_semi_join_lookup(spark, sf_dir):
+def j6_semi_anti_membership(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
+    o = load(spark, sf_dir, "orders")
+    absent = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.col("c_name").alias("val"), F.lit("no_orders").alias("tag")
     )
+    big = o.filter(F.col("o_totalprice") > 200000)
+    present = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("val"),
+        F.lit("has_big_order").alias("tag"),
+    )
+    return absent.unionByName(present)
 
 
 # =====================================================================
@@ -469,32 +369,6 @@ def a1_counts_per_group(spark, sf_dir):
             "revenue"
         ),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-    )
-
-
-@register(
-    "a2_validation_success_rate",
-    """
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS total,
-           CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS valid,
-           round(CASE WHEN count(*) > 0
-                 THEN CAST(count(*) FILTER (WHERE event_type <> 'error') AS DOUBLE)
-                      / count(*) * 100 ELSE 0.0 END, 4) AS success_rate
-    FROM events GROUP BY user_id
-    """,
-    "A2/Y5: valid/total*100 with zero guard (app.py:142-177, rate :176)",
-)
-def a2_validation_success_rate(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    valid = F.count_if(F.col("event_type") != "error")
-    total = F.count(F.lit(1))
-    return ev.groupBy("user_id").agg(
-        total.alias("total"),
-        valid.alias("valid"),
-        F.round(
-            F.when(total > 0, valid.cast("double") / total * 100).otherwise(0.0), 4
-        ).alias("success_rate"),
     )
 
 
@@ -574,41 +448,34 @@ def a8_rollup_totals(spark, sf_dir):
     """
     SELECT user_id,
            string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq,
-           CAST(count(*) AS BIGINT) AS n_events
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS valid,
+           round(CASE WHEN count(*) > 0
+                 THEN CAST(count(*) FILTER (WHERE event_type <> 'error') AS DOUBLE)
+                      / count(*) * 100 ELSE 0.0 END, 4) AS success_rate
     FROM events GROUP BY user_id
     """,
-    "W1 (flagship shape): ordered concat per group — the stable-turn-order op "
-    "(app.py:816-822; ours: collect_list→array_sort→array_join)",
+    "W1+A2/Y5 (flagship shape): ordered concat per group — the "
+    "stable-turn-order op (app.py:816-822; ours: collect_list→array_sort→"
+    "array_join) — plus valid/total*100 with zero guard in the same agg "
+    "(app.py:142-177, rate :176)",
 )
 def w1_ordered_concat_per_group(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
     )
+    valid = F.count_if(F.col("event_type") != "error")
+    total = F.count(F.lit(1))
     return ev.groupBy("user_id").agg(
         F.array_join(
             F.transform(ordered, lambda x: x["event_type"]), "|"
         ).alias("event_seq"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
-    "w2_row_number_rank",
-    """
-    SELECT user_id, event_id, pos FROM (
-      SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
-      FROM events) WHERE pos <= 3
-    """,
-    "W2: position within sequence (app.py:92,674 loop index k/j)",
-)
-def w2_row_number_rank(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select("user_id", "event_id", F.row_number().over(w).alias("pos"))
-        .filter(F.col("pos") <= 3)
+        total.alias("n_events"),
+        valid.alias("valid"),
+        F.round(
+            F.when(total > 0, valid.cast("double") / total * 100).otherwise(0.0), 4
+        ).alias("success_rate"),
     )
 
 
@@ -616,6 +483,7 @@ def w2_row_number_rank(spark, sf_dir):
     "w4_frame_running_sum",
     """
     SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
            round(CAST(sum(value) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
@@ -624,7 +492,8 @@ def w2_row_number_rank(spark, sf_dir):
                  ORDER BY ts, event_id) AS DOUBLE), 2) AS prev_value
     FROM events
     """,
-    "W4: frame specs + lag (reference has none; SURVEY §2.5 W4 extension)",
+    "W2+W4: row_number position within sequence (app.py:92,674 loop index "
+    "k/j) + frame specs + lag (SURVEY §2.5 W4 extension) in one window",
 )
 def w4_frame_running_sum(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
@@ -632,6 +501,7 @@ def w4_frame_running_sum(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
+        F.row_number().over(w).alias("pos"),
         F.round(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_value"),
@@ -692,8 +562,18 @@ def w3_ordered_audit_scan(spark, sf_dir):
     SELECT 'supplier' AS src, s_nationkey AS nationkey,
            CAST(count(*) AS BIGINT) AS n
     FROM supplier GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'both' AS src, nationkey, CAST(NULL AS BIGINT) AS n FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS src, nationkey, CAST(NULL AS BIGINT) AS n FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    "U1: union of two image sources with source tag (app.py:663-665)",
+    "U1+U4: union of two image sources with source tag (app.py:663-665) + "
+    "INTERSECT / EXCEPT membership rows (SURVEY §2.7; set-semantics "
+    "EXCEPT = distinct().subtract() — Spark exceptAll is bag semantics)",
 )
 def u1_union_tagged_sources(spark, sf_dir):
     c = (
@@ -708,7 +588,20 @@ def u1_union_tagged_sources(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("supplier").alias("src"), "nationkey", "n")
     )
-    return c.unionByName(s)
+    ckeys = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    skeys = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    null_n = F.lit(None).cast("long").alias("n")
+    both = ckeys.intersect(skeys).select(F.lit("both").alias("src"), "nationkey", null_n)
+    only = (
+        ckeys.distinct()
+        .subtract(skeys.distinct())
+        .select(F.lit("customer_only").alias("src"), "nationkey", null_n)
+    )
+    return c.unionByName(s).unionByName(both).unionByName(only)
 
 
 @register(
@@ -745,29 +638,6 @@ def u2_upsert_merge(spark, sf_dir):
     )
 
 
-@register(
-    "u4_intersect_except",
-    """
-    SELECT nationkey, 'both' AS membership FROM
-      (SELECT c_nationkey AS nationkey FROM customer
-       INTERSECT SELECT s_nationkey FROM supplier)
-    UNION ALL
-    SELECT nationkey, 'customer_only' AS membership FROM
-      (SELECT c_nationkey AS nationkey FROM customer
-       EXCEPT SELECT s_nationkey FROM supplier)
-    """,
-    "U4: INTERSECT / EXCEPT (used by our golden-diff tests; SURVEY §2.7)",
-)
-def u4_intersect_except(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    both = c.intersect(s).select("nationkey", F.lit("both").alias("membership"))
-    only = c.distinct().subtract(s.distinct()).select(
-        "nationkey", F.lit("customer_only").alias("membership")
-    )
-    return both.unionByName(only)
-
-
 # =====================================================================
 # §2.8 scalar string / regex / encoding
 # =====================================================================
@@ -798,60 +668,24 @@ def x1_regex_extract_all(spark, sf_dir):
     "x5_translate_normalize",
     """
     SELECT doc_id,
-           replace(replace(source || '.' || lang, '.', '_'), '/', '_') AS norm_id
+           replace(replace(source || '.' || lang, '.', '_'), '/', '_') AS norm_id,
+           'page_' || CAST(doc_id % 10 AS VARCHAR) || '_img_' || source || '.png'
+             AS filename
     FROM documents WHERE doc_id < 150
     """,
-    "X5: id normalization ./ → _ (app.py:127) via translate",
+    "X5+X6: id normalization ./ → _ (app.py:127) via translate, plus "
+    "f-string filename synthesis (app.py:128,585) via format_string",
 )
 def x5_translate_normalize(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     raw = F.concat(F.col("source"), F.lit("."), F.col("lang"))
-    return docs.select("doc_id", F.translate(raw, "./", "__").alias("norm_id"))
-
-
-@register(
-    "x6_filename_synthesis",
-    """
-    SELECT doc_id,
-           'page_' || CAST(doc_id % 10 AS VARCHAR) || '_img_' || source || '.png'
-             AS filename
-    FROM documents WHERE doc_id < 120
-    """,
-    "X6: f-string filename synthesis (app.py:128,585) via format_string",
-)
-def x6_filename_synthesis(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     return docs.select(
         "doc_id",
+        F.translate(raw, "./", "__").alias("norm_id"),
         F.format_string(
             "page_%d_img_%s.png", (F.col("doc_id") % 10).cast("int"), F.col("source")
         ).alias("filename"),
     )
-
-
-@register(
-    "x8_extension_split",
-    """
-    SELECT DISTINCT lower(regexp_extract('f_' || CAST(doc_id % 7 AS VARCHAR) ||
-           CASE doc_id % 3 WHEN 0 THEN '.PDF' WHEN 1 THEN '.Jpeg' ELSE '.png' END,
-           '\\.([^.]+)$', 1)) AS ext
-    FROM documents
-    """,
-    "X8: rsplit('.',1)[1].lower() (app.py:56-57)",
-)
-def x8_extension_split(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    fname = F.concat(
-        F.lit("f_"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.element_at(
-            F.array(F.lit(".PDF"), F.lit(".Jpeg"), F.lit(".png")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ),
-    )
-    return docs.select(
-        F.lower(F.substring_index(fname, ".", -1)).alias("ext")
-    ).distinct()
 
 
 @register(
@@ -879,47 +713,30 @@ def x9_mime_sniff(spark, sf_dir):
 @register(
     "x10_base64_roundtrip",
     """
-    SELECT doc_id,
-           to_base64(encode(substring(text, 1, 24))) AS b64,
-           decode(from_base64(to_base64(encode(substring(text, 1, 24)))))
-             AS roundtrip
-    FROM documents WHERE doc_id < 100
+    WITH uris AS (
+      SELECT doc_id,
+             to_base64(encode(substring(text, 1, 24))) AS b64,
+             'data:image/png;base64,' ||
+               to_base64(encode(substring(text, 1, 24))) AS uri
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id, b64,
+           decode(from_base64(b64)) AS roundtrip,
+           string_split(string_split(uri, ';')[1], ':')[2] AS mime,
+           string_split(uri, 'base64,')[2] AS payload
+    FROM uris
     """,
-    "X10: base64 encode/decode roundtrip (app.py:186-201,751-752)",
+    "X10+X11: base64 encode/decode roundtrip (app.py:186-201,751-752) + "
+    "data-URI header parse of the same payload (app.py:222-230)",
 )
 def x10_base64_roundtrip(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     head = F.substring("text", 1, 24)
     b64 = F.base64(head.cast("binary"))
+    uri = F.concat(F.lit("data:image/png;base64,"), b64)
     return docs.select(
         "doc_id",
         b64.alias("b64"),
         F.unbase64(b64).cast("string").alias("roundtrip"),
-    )
-
-
-@register(
-    "x11_data_uri_parse",
-    """
-    WITH uris AS (
-      SELECT doc_id, 'data:image/png;base64,' || to_base64(encode(substring(text,1,12)))
-               AS uri
-      FROM documents WHERE doc_id < 80)
-    SELECT doc_id,
-           string_split(string_split(uri, ';')[1], ':')[2] AS mime,
-           string_split(uri, 'base64,')[2] AS payload
-    FROM uris
-    """,
-    "X11: data-URI header parse (app.py:222-230)",
-)
-def x11_data_uri_parse(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    uri = F.concat(
-        F.lit("data:image/png;base64,"),
-        F.base64(F.substring("text", 1, 12).cast("binary")),
-    )
-    return docs.select(
-        "doc_id",
         F.element_at(F.split(F.element_at(F.split(uri, ";"), 1), ":"), 2).alias("mime"),
         F.element_at(F.split(uri, "base64,"), 2).alias("payload"),
     )
@@ -929,45 +746,35 @@ def x11_data_uri_parse(spark, sf_dir):
     "x12_url_parse",
     """
     WITH urls AS (
-      SELECT doc_id, 'https://example.com/files/doc%20' || CAST(doc_id AS VARCHAR)
+      SELECT doc_id, lang,
+             'https://example.com/files/doc%20' || CAST(doc_id AS VARCHAR)
                || '.pdf?v=2' AS url
-      FROM documents WHERE doc_id < 60)
+      FROM documents WHERE doc_id < 100)
     SELECT doc_id,
            regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
            regexp_extract(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
-                          '([^/]+)$', 1) AS basename
+                          '([^/]+)$', 1) AS basename,
+           sha256('doc:' || CAST(doc_id AS VARCHAR) || ':' || lang) AS stable_id
     FROM urls
     """,
-    "X12: urlparse(url).path + basename (app.py:868,1038)",
+    "X12+X13: urlparse(url).path + basename (app.py:868,1038) + "
+    "deterministic sha2 ids replacing os.urandom names (SURVEY §2.8)",
 )
 def x12_url_parse(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     url = F.concat(
         F.lit("https://example.com/files/doc%20"),
         F.col("doc_id").cast("string"),
         F.lit(".pdf?v=2"),
     )
     path = F.parse_url(url, F.lit("PATH"))
+    key = F.concat_ws(":", F.lit("doc"), F.col("doc_id"), F.col("lang"))
     return docs.select(
         "doc_id",
         path.alias("path"),
         F.element_at(F.split(path, "/"), -1).alias("basename"),
+        F.sha2(key, 256).alias("stable_id"),
     )
-
-
-@register(
-    "x13_stable_hash_ids",
-    """
-    SELECT doc_id,
-           sha256('doc:' || CAST(doc_id AS VARCHAR) || ':' || lang) AS stable_id
-    FROM documents WHERE doc_id < 100
-    """,
-    "X13: deterministic sha2 ids replacing os.urandom names (SURVEY §2.8)",
-)
-def x13_stable_hash_ids(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = F.concat_ws(":", F.lit("doc"), F.col("doc_id"), F.col("lang"))
-    return docs.select("doc_id", F.sha2(key, 256).alias("stable_id"))
 
 
 # =====================================================================
@@ -978,16 +785,20 @@ def x13_stable_hash_ids(spark, sf_dir):
 @register(
     "y2_iso_timestamp_format",
     """
-    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts
-    FROM events WHERE event_id < 200
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+           round(greatest(0.5, least(3.0, value / 100)), 4) AS zoom
+    FROM events WHERE event_id < 300
     """,
-    "Y2: ISO timestamp string (settings_manager.py:409)",
+    "Y2+Y7: ISO timestamp string (settings_manager.py:409) + "
+    "Math.max(0.5, Math.min(3.0, z)) clamp (compare.html:251)",
 )
 def y2_iso_timestamp_format(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     return ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.round(F.greatest(F.lit(0.5), F.least(F.lit(3.0), F.col("value") / 100)), 4)
+        .alias("zoom"),
     )
 
 
@@ -1011,10 +822,14 @@ def y3_interval_window(spark, sf_dir):
     SELECT p_partkey,
            (p_size * 20 - p_size * 3) AS width,
            (p_size * 12 - p_size * 2) AS height,
-           (p_size * 20 - p_size * 3) * (p_size * 12 - p_size * 2) AS area
+           (p_size * 20 - p_size * 3) * (p_size * 12 - p_size * 2) AS area,
+           '<svg width="' || CAST(p_size * 10 AS VARCHAR) || '" height="' ||
+             CAST(p_size * 5 AS VARCHAR) || '"><text>' || p_name ||
+             '</text></svg>' AS svg
     FROM part WHERE p_size > 25
     """,
-    "Y4: bbox width/height by subtraction (app.py:563-564,580-581)",
+    "Y4+S11/X14: bbox width/height by subtraction (app.py:563-564,580-581) "
+    "+ templated SVG synthesis as a column expr (app.py:248-271)",
 )
 def y4_bbox_arithmetic(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(F.col("p_size") > 25)
@@ -1025,23 +840,12 @@ def y4_bbox_arithmetic(spark, sf_dir):
         width.alias("width"),
         height.alias("height"),
         (width * height).alias("area"),
-    )
-
-
-@register(
-    "y7_clamp",
-    """
-    SELECT event_id, round(greatest(0.5, least(3.0, value / 100)), 4) AS zoom
-    FROM events WHERE event_id < 300
-    """,
-    "Y7: Math.max(0.5, Math.min(3.0, z)) clamp (compare.html:251)",
-)
-def y7_clamp(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
-    return ev.select(
-        "event_id",
-        F.round(F.greatest(F.lit(0.5), F.least(F.lit(3.0), F.col("value") / 100)), 4)
-        .alias("zoom"),
+        F.format_string(
+            '<svg width="%d" height="%d"><text>%s</text></svg>',
+            F.col("p_size") * 10,
+            F.col("p_size") * 5,
+            F.col("p_name"),
+        ).alias("svg"),
     )
 
 
@@ -1062,25 +866,4 @@ def y8_json_extract(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
-    )
-
-
-@register(
-    "y9_typed_cast_with_default",
-    """
-    SELECT doc_id,
-           coalesce(try_cast(substring(text, 1, 2) AS INT), 0) AS as_int,
-           coalesce(try_cast(lang AS DOUBLE), 0.0) AS as_double
-    FROM documents WHERE doc_id < 200
-    """,
-    "Y9: type-tag cast with swallow-to-default (settings_manager.py:376-391)",
-)
-def y9_typed_cast_with_default(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return docs.select(
-        "doc_id",
-        F.coalesce(
-            F.expr("try_cast(substring(text, 1, 2) AS INT)"), F.lit(0)
-        ).alias("as_int"),
-        F.coalesce(F.expr("try_cast(lang AS DOUBLE)"), F.lit(0.0)).alias("as_double"),
     )

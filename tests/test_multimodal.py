@@ -46,7 +46,8 @@ def test_feature_extraction_schema_and_png_path(spark):
     # every image row carries the real PNG header → real parse kicks in
     img = pdf[pdf["kind"] == "image"]
     assert (img["format"] == "png").all()
-    assert (img["width"] == 640).all() and (img["height"] == 480).all()
+    assert (img["width"] == 320 + (img["media_id"] % 5) * 64).all()
+    assert (img["height"] == 240 + (img["media_id"] % 7) * 32).all()
     # non-image rows get deterministic synthetic dims
     other = pdf[pdf["kind"] != "image"]
     assert (other["format"] == "unknown").all()
