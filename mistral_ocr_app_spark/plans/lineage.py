@@ -45,17 +45,46 @@ def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
-def committed_buckets(spark: SparkSession, lineage_dir: str) -> list[int]:
+def committed_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    """Distinct committed bucket ids as a RELATION (None if no lineage
+    yet). Resume filters anti-join against this — never an ``isin`` over
+    a collected list, which at 4096+ mostly-committed buckets becomes a
+    giant literal IN in the plan (SURVEY §4.3 prescribes the anti-join)."""
     if not os.path.isdir(lineage_dir):
-        return []
+        return None
     try:
         lin = spark.read.parquet(lineage_dir)
     except Exception:
+        return None
+    return lin.filter(F.col("status") == "done").select("bucket").distinct()
+
+
+def committed_buckets(spark: SparkSession, lineage_dir: str) -> list[int]:
+    """Driver-side bucket-id list (bounded by n_buckets) — for run stats
+    and tests, NOT for plan filters."""
+    lin = committed_lineage(spark, lineage_dir)
+    if lin is None:
         return []
-    return sorted(
-        r["bucket"]
-        for r in lin.filter(F.col("status") == "done").select("bucket").distinct().collect()
+    return sorted(r["bucket"] for r in lin.collect())
+
+
+def pending_transcripts(
+    spark: SparkSession,
+    transcripts_path: str,
+    lineage_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Transcripts still to extract: LEFT ANTI against the committed
+    lineage relation (plan-asserted in tests/test_lineage.py) — never an
+    ``isin`` over a collected list, whose plan grows with every
+    committed bucket."""
+    transcripts = spark.read.parquet(transcripts_path).withColumn(
+        "bucket", bucket_expr(n_buckets)
     )
+    lin_done = committed_lineage(spark, lineage_dir)
+    if lin_done is None:
+        return transcripts
+    return transcripts.join(F.broadcast(lin_done), "bucket", "left_anti")
 
 
 def lineage_rows(extracted_with_bucket: DataFrame) -> DataFrame:
@@ -100,16 +129,17 @@ def run_extraction_with_lineage(
     lineage_dir = os.path.join(out_dir, "_lineage")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    done = committed_buckets(spark, lineage_dir)
-    transcripts = spark.read.parquet(transcripts_path).withColumn(
-        "bucket", bucket_expr(n_buckets)
-    )
-    pending = transcripts.filter(~F.col("bucket").isin(done)) if done else transcripts
+    lin_done = committed_lineage(spark, lineage_dir)
+    n_done = lin_done.count() if lin_done is not None else 0
+    pending = pending_transcripts(spark, transcripts_path, lineage_dir, n_buckets)
 
+    # bounded by n_buckets — driver-side stats + the fail_after test hook
     pending_buckets = sorted(
         r["bucket"] for r in pending.select("bucket").distinct().collect()
     )
     if fail_after_buckets is not None:
+        # test hook simulating a kill after k bucket commits: an isin
+        # over k literals is fine here (k is small by construction)
         pending_buckets = pending_buckets[:fail_after_buckets]
         pending = pending.filter(F.col("bucket").isin(pending_buckets))
 
@@ -120,16 +150,24 @@ def run_extraction_with_lineage(
         )
         # data first (atomic per-partition dynamic overwrite) ...
         extracted.write.partitionBy("bucket").mode("overwrite").parquet(data_dir)
-        # ... lineage only after the data write returned
-        done_df = spark.read.parquet(data_dir).filter(
-            F.col("bucket").isin(pending_buckets)
-        )
+        # ... lineage only after the data write returned. The re-read is
+        # what makes the fingerprint audit honest (hash bytes on disk,
+        # not bytes in memory). Restricting it: a semi-join does NOT get
+        # dynamic partition pruning for a local build relation (measured:
+        # empty PartitionFilters, full scan), so use a STATIC isin on the
+        # partition column — it prunes directories, and its literal count
+        # equals THIS run's pending buckets (small on resume, which is
+        # when most buckets are committed and pruning matters); a fresh
+        # full run writes every bucket and needs no filter at all.
+        done_df = spark.read.parquet(data_dir)
+        if len(pending_buckets) < n_buckets:
+            done_df = done_df.filter(F.col("bucket").isin(pending_buckets))
         lineage_rows(done_df).write.mode("append").parquet(lineage_dir)
         n_now = len(pending_buckets)
 
     return {
         "n_pending": len(pending_buckets),
-        "n_committed_before": len(done),
+        "n_committed_before": n_done,
         "n_committed_now": n_now,
     }
 

@@ -94,6 +94,35 @@ def test_lineage_has_one_row_per_bucket(spark, outputs):
         )
 
 
+def test_resume_filter_is_left_anti_join(spark, fixture_paths, outputs):
+    """The resume plan must be a broadcast LEFT ANTI against the lineage
+    relation, not a literal IN-list (which grows with committed buckets
+    and is the wrong shape at 4096+ buckets)."""
+    from mistral_ocr_app_spark.plans.lineage import pending_transcripts
+
+    oneshot, *_ = outputs
+    pending = pending_transcripts(
+        spark, fixture_paths["transcripts"], f"{oneshot}/_lineage", N_BUCKETS
+    )
+    plan = pending._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert " IN (" not in plan and " INSET " not in plan
+    assert pending.count() == 0  # everything committed → nothing pending
+
+
+def test_reread_filter_prunes_partitions(spark, outputs):
+    """The post-write re-read (fingerprint source) must reach the scan as
+    a partition filter — directories of committed buckets are skipped,
+    not read-then-filtered."""
+    from pyspark.sql import functions as F
+
+    oneshot, *_ = outputs
+    df = spark.read.parquet(f"{oneshot}/data").filter(F.col("bucket").isin([1, 3]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in pf and "IN" in pf.upper()
+
+
 def test_mid_write_crash_leaves_recoverable_state(spark, fixture_paths, tmp_path):
     """A kill DURING a bucket's data write leaves partial files but no
     lineage row; the resume must overwrite the partial bucket (dynamic
