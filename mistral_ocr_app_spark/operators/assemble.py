@@ -10,6 +10,22 @@ All JVM-side (no Python): ``collect_list(struct(turn_idx, text))`` →
 single shuffle is the groupBy exchange on ``conv_id``; partial (map-side)
 aggregation of collect_list keeps it one pass, and AQE skew-join/
 coalesce handles long-conversation skew (session.py).
+
+Pinned contracts (fixture-tested):
+
+* Header numbering uses the turn's OWN index: ``# Страница {turn_idx+1}``.
+  This is exactly the reference semantics — app.py:820 numbers by
+  ``page.get('index', 0) + 1`` (the page's own index field), NOT by
+  position in the combined list — so gapped turn_idx yields gapped
+  headers, same as the reference would for gapped page indexes.
+* ``(conv_id, turn_idx)`` must identify a turn (BASELINE input_hint
+  schema contract). With duplicate turn_idx the array_sort tie-break
+  (second struct field) is not the reference's stable input order —
+  duplicates are outside the contract.
+* Skew bound: one ``collect_list`` buffer holds a whole conversation;
+  for corpora with pathological conversations (≥100k turns) use
+  ``assemble_conversations_chunked`` — identical output, per-group
+  state bounded by ``chunk_size`` elements.
 """
 
 from __future__ import annotations
@@ -82,6 +98,59 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
         F.array_join(
             F.transform(turns, lambda x: F.coalesce(x["extracted_text"], F.lit(""))),
             PAGE_JOINER_CLI,
+        ).alias("combined_cli"),
+    )
+
+
+def assemble_conversations_chunked(
+    extracted: DataFrame, chunk_size: int = 4096
+) -> DataFrame:
+    """Skew-bounded hierarchical assembly — identical output to
+    ``assemble_conversations`` (property-tested), different shape:
+
+    stage 1 groups by ``(conv_id, turn_idx // chunk_size)`` and joins
+    each chunk to one string; stage 2 concatenates chunk strings in
+    chunk order. Two exchanges instead of one, but no aggregation
+    buffer ever holds more than ``chunk_size`` structs (stage 1) or
+    ``ceil(n_turns/chunk_size)`` strings (stage 2) — a 10⁶-turn
+    conversation cannot OOM an executor the way a single collect_list
+    of 10⁶ structs can. Headers carry turn_idx, so chunks format
+    independently; intra- and inter-chunk joiners are the same string,
+    making the concatenation associative."""
+    chunk = F.floor(F.col("turn_idx") / chunk_size).cast("long")
+    turns = _ordered_turns(extracted)
+    per_chunk = (
+        extracted.withColumn("chunk", chunk)
+        .groupBy("conv_id", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    turns,
+                    lambda x: F.format_string(
+                        "# Страница %d\n\n%s",
+                        x["turn_idx"] + F.lit(1),
+                        F.coalesce(x["extracted_text"], F.lit("")),
+                    ),
+                ),
+                PAGE_JOINER_APP,
+            ).alias("app_chunk"),
+            F.array_join(
+                F.transform(turns, lambda x: F.coalesce(x["extracted_text"], F.lit(""))),
+                PAGE_JOINER_CLI,
+            ).alias("cli_chunk"),
+        )
+    )
+    chunks = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk"), F.col("app_chunk"), F.col("cli_chunk")))
+    )
+    return per_chunk.groupBy("conv_id").agg(
+        F.sum("n_turns").cast("int").alias("n_turns"),
+        F.array_join(
+            F.transform(chunks, lambda c: c["app_chunk"]), PAGE_JOINER_APP
+        ).alias("combined_app"),
+        F.array_join(
+            F.transform(chunks, lambda c: c["cli_chunk"]), PAGE_JOINER_CLI
         ).alias("combined_cli"),
     )
 
