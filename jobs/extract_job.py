@@ -9,7 +9,7 @@ Packaging (pure-Python engine, no native deps — SURVEY §4.3):
         --input  /path/to/transcripts_parquet_or_iceberg \\
         --output /path/to/output_dir \\
         --buckets 4096 \\
-        [--assemble] [--resume-only]
+        [--assemble] [--chunk-size 4096] [--resume-only]
 
 On a cluster, --input can be an Iceberg table path; the job is resumable:
 re-submission after a failure skips buckets already committed to
@@ -20,9 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-from pyspark.sql import SparkSession
+# local/dev runs (python jobs/extract_job.py) — on a cluster the engine
+# arrives via --py-files and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> int:
@@ -33,6 +38,13 @@ def main() -> int:
                     help="lineage work units; size so one bucket's turns fit an executor")
     ap.add_argument("--assemble", action="store_true",
                     help="also write per-conversation assembled documents")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="report committed/pending bucket counts and exit "
+                         "without extracting anything")
+    ap.add_argument("--chunk-size", type=int, default=0,
+                    help="assemble hierarchically with this many turns per "
+                         "chunk (bounds per-group memory for pathological "
+                         "conversations; 0 = flat single-exchange assembly)")
     args = ap.parse_args()
 
     spark = (
@@ -45,18 +57,42 @@ def main() -> int:
         .getOrCreate()
     )
 
-    from mistral_ocr_app_spark.operators.assemble import assemble_conversations
-    from mistral_ocr_app_spark.plans.lineage import run_extraction_with_lineage
+    from mistral_ocr_app_spark.operators.assemble import (
+        assemble_conversations,
+        assemble_conversations_chunked,
+    )
+    from mistral_ocr_app_spark.plans.lineage import (
+        committed_lineage,
+        pending_transcripts,
+        run_extraction_with_lineage,
+    )
     from mistral_ocr_app_spark.sources.io import write_markdown_sink
+
+    if args.resume_only:
+        lin = committed_lineage(spark, f"{args.output}/_lineage")
+        pend = pending_transcripts(
+            spark, args.input, f"{args.output}/_lineage", args.buckets
+        )
+        stats = {
+            "resume_only": True,
+            "n_committed": lin.count() if lin is not None else 0,
+            "n_pending_buckets": pend.select("bucket").distinct().count(),
+        }
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
 
     stats = run_extraction_with_lineage(
         spark, args.input, args.output, n_buckets=args.buckets
     )
     if args.assemble:
         extracted = spark.read.parquet(f"{args.output}/data")
-        write_markdown_sink(
-            assemble_conversations(extracted), f"{args.output}/assembled"
+        assembled = (
+            assemble_conversations_chunked(extracted, chunk_size=args.chunk_size)
+            if args.chunk_size > 0
+            else assemble_conversations(extracted)
         )
+        write_markdown_sink(assembled, f"{args.output}/assembled")
     print(json.dumps(stats))
     spark.stop()
     return 0

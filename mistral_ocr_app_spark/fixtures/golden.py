@@ -40,14 +40,20 @@ from ..functions.classify import (
     classify_payload,
 )
 
-_SECURE_RE = re.compile(r"[^A-Za-z0-9_.-]")
+try:
+    # the reference imports werkzeug.utils.secure_filename (app.py:14);
+    # using the real thing here makes the golden a true differential
+    # oracle for the engine's stdlib-only reimplementation
+    from werkzeug.utils import secure_filename as _secure_filename
+except ImportError:  # pragma: no cover — fallback transcription
+    _SECURE_RE = re.compile(r"[^A-Za-z0-9_.-]")
 
+    def _secure_filename(name):
+        import unicodedata
 
-def _secure_filename(name):
-    # documented werkzeug behavior (reference uses werkzeug.secure_filename)
-    name = name.replace(" ", "_")
-    name = _SECURE_RE.sub("_", name)
-    return name.strip("._") or "file"
+        name = unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode()
+        name = _SECURE_RE.sub("", "_".join(name.replace("/", " ").split()))
+        return name.strip("._")
 
 
 def golden_extract_images_from_markdown(markdown_text, page_index):
@@ -159,7 +165,9 @@ def golden_base64(payload):
     elif "image/webp" in payload:
         img_format = "webp"
     try:
-        img_data = base64.b64decode(clean_data, validate=True)
+        # lenient like app.py:201 (no validate=True): whitespace/newlines
+        # inside the payload are discarded, not rejected
+        img_data = base64.b64decode(clean_data)
     except (binascii.Error, ValueError):
         return None
     if len(img_data) < 50:

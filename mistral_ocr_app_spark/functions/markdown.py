@@ -32,7 +32,9 @@ from __future__ import annotations
 import base64
 import binascii
 import json
+import os
 import re
+import unicodedata
 from typing import Any
 
 # app.py:121-122 — any-extension image ref, case-insensitive
@@ -43,16 +45,38 @@ IMAGE_REF_RE = re.compile(
 STRICT_REF_RE = re.compile(r"!\[.*?\]\(img-\d+\.jpe?g\)")
 STRICT_NAME_RE = re.compile(r"img-\d+\.jpe?g$", re.IGNORECASE)
 
-# werkzeug.utils.secure_filename semantics (documented behavior,
-# re-implemented from the public docs; used at app.py:233,268,291,...)
+# werkzeug.utils.secure_filename semantics (documented public behavior,
+# re-implemented faithfully — the reference imports it at app.py:14 and
+# applies it at app.py:233,268,291,...; differential-tested against the
+# real werkzeug in tests/test_markdown.py, incl. Cyrillic/CJK names —
+# the reference app is Russian-localized, its users WILL hit these):
+# NFKD-normalize → drop non-ASCII (é→e, Cyrillic/CJK vanish) → path
+# separators→space → whitespace runs→single ``_`` → REMOVE (not
+# underscore) remaining non [A-Za-z0-9_.-] → strip leading/trailing
+# ``.``/``_``. May return '' (werkzeug contract).
 _SECURE_STRIP_RE = re.compile(r"[^A-Za-z0-9_.-]")
+_WINDOWS_DEVICE_FILES = {
+    "CON", "PRN", "AUX", "NUL",
+    *(f"COM{i}" for i in range(1, 10)),
+    *(f"LPT{i}" for i in range(1, 10)),
+}
 
 
 def secure_filename(name: str) -> str:
-    """ASCII-safe filename: non [A-Za-z0-9_.-] → ``_``, collapse leading dots."""
-    name = name.replace(" ", "_")
-    name = _SECURE_STRIP_RE.sub("_", name)
-    return name.strip("._") or "file"
+    """ASCII-safe filename, werkzeug-exact (see block comment above)."""
+    name = unicodedata.normalize("NFKD", name)
+    name = name.encode("ascii", "ignore").decode("ascii")
+    for sep in (os.sep, os.path.altsep):
+        if sep:
+            name = name.replace(sep, " ")
+    name = _SECURE_STRIP_RE.sub("", "_".join(name.split())).strip("._")
+    if (
+        os.name == "nt"
+        and name
+        and name.split(".")[0].upper() in _WINDOWS_DEVICE_FILES
+    ):
+        name = f"_{name}"
+    return name
 
 
 def normalize_image_id(image_ref: str) -> str:
@@ -191,7 +215,10 @@ def parse_base64_payload(payload: str) -> dict[str, Any]:
             break
     result["format"] = fmt
     try:
-        data = base64.b64decode(clean, validate=True)
+        # lenient decode, matching the reference (app.py:201 calls
+        # b64decode without validate=True): non-alphabet chars such as
+        # embedded newlines/whitespace are discarded, not rejected
+        data = base64.b64decode(clean)
     except (binascii.Error, ValueError):
         return result
     result["size"] = len(data)

@@ -126,3 +126,52 @@ def test_combine_pages_variants():
     )
     assert md.combine_pages_cli(["alpha", "beta"]) == "alpha\n\nbeta"
     assert md.combine_pages_app(pages) == g.golden_combine_pages_app(pages)
+
+
+# --------------------------------------------------- X7 secure_filename ---
+
+UNICODE_FILENAMES = [
+    "русский файл.pdf",          # Cyrillic (reference app is RU-localized)
+    "отчёт_2024.PDF",
+    "中文 文件.png",              # CJK
+    "my résumé.pdf",             # NFKD-decomposable accents
+    "naïve café.jpeg",
+    "a+b=c.pdf",                 # chars werkzeug REMOVES (not underscores)
+    "  spaced   name .txt",
+    "../../etc/passwd",
+    "page_0_extracted_img-0_jpeg.jpeg",  # the engine's own synthesis shape
+    "...",
+    "",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_FILENAMES)
+def test_secure_filename_matches_werkzeug(name):
+    """Engine reimplementation must agree with the real werkzeug the
+    reference uses (app.py:14), incl. dropping non-ASCII entirely."""
+    werkzeug = pytest.importorskip("werkzeug.utils")
+    assert md.secure_filename(name) == werkzeug.secure_filename(name)
+
+
+def test_secure_filename_pinned_unicode_behavior():
+    """Pin the documented behavior even without werkzeug installed:
+    non-ASCII is DROPPED (not underscored), NFKD transliterates accents."""
+    assert md.secure_filename("русский файл.pdf") == "pdf"
+    assert md.secure_filename("中文 文件.png") == "png"
+    assert md.secure_filename("my résumé.pdf") == "my_resume.pdf"
+    assert md.secure_filename("a+b=c.pdf") == "abc.pdf"
+
+
+# ----------------------------------------------- lenient base64 (F3) ---
+
+
+def test_base64_lenient_decode_matches_reference():
+    """app.py:201 decodes WITHOUT validate=True: payloads containing
+    newlines/whitespace (MIME-wrapped base64) must be accepted."""
+    raw = base64.b64encode(b"x" * 80).decode()
+    wrapped = raw[:20] + "\n" + raw[20:40] + " \t" + raw[40:]
+    res = md.parse_base64_payload(wrapped)
+    assert res["valid"] and res["size"] == 80
+    assert g.golden_base64(wrapped) is not None  # golden agrees
+    # genuinely broken payloads are still rejected
+    assert not md.parse_base64_payload("!!!not base64!!!")["valid"]
