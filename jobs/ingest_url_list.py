@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""S2 ingestion job — URL manifest → schema-conformant transcripts parquet.
+
+The reference downloads uploads synchronously inside a Flask request
+(``download_file_from_url``, app.py:379-406: GDrive rewrite, 30 s
+timeout, Content-Length size guard). At corpus scale ingestion is an
+OUT-OF-BAND driver-side job — the engine's invariant is that executors
+never do per-row network I/O — so this job fetches the manifest's URLs
+on the driver, validates them with the same guards, parses each payload
+into transcript turns, and lands one parquet table the extraction job
+(`jobs/extract_job.py`) can consume.
+
+Reference semantics mirrored (file:line cited for parity, no code copied):
+  * GDrive URL rewrite (S3)     — app.py:362-376 (/file/d/<id> and /uc?id=)
+  * 30 s timeout                — app.py:382
+  * size guard (F2)             — app.py:393-395 (Content-Length header);
+                                  we ALSO cap the streamed bytes — the
+                                  reference trusts the header
+  * extension allow-list (F1)   — app.py:54-57 (lowercased rsplit)
+
+Payload parsing (deterministic, no randomness — SURVEY §2.8 X13):
+  * ``.jsonl`` — one JSON turn per line: {conv_id, turn_idx, role, text,
+    tool?, ts?}; missing ts → epoch + turn_idx minutes
+  * ``.txt`` / ``.md`` — one conversation per document (conv_id =
+    sha256(url)[:16]), one turn per blank-line-separated paragraph,
+    roles cycling user/assistant
+
+Usage:
+    spark-submit jobs/ingest_url_list.py \\
+        --manifest /path/to/urls.txt --output /path/to/transcripts \\
+        [--max-bytes 52428800] [--timeout 30]
+
+``file://`` URLs are supported (tests use them; no network in CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import urllib.parse
+import urllib.request
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALLOWED_EXTENSIONS = {"jsonl", "txt", "md"}  # transcript landing formats
+DEFAULT_MAX_BYTES = 50 * 1024 * 1024  # app.py:44 (MAX_FILE_SIZE_MB=50)
+DEFAULT_TIMEOUT = 30  # app.py:382
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def rewrite_gdrive_url(url: str) -> str:
+    """app.py:362-376: drive.google.com file links → direct-download."""
+    parsed = urllib.parse.urlparse(url)
+    if parsed.netloc != "drive.google.com":
+        return url
+    file_id = None
+    if parsed.path.startswith("/file/d/"):
+        parts = parsed.path.split("/")
+        file_id = parts[3] if len(parts) > 3 else None
+    elif parsed.path.startswith("/uc"):
+        file_id = dict(urllib.parse.parse_qsl(parsed.query)).get("id")
+    if file_id:
+        return f"https://drive.google.com/uc?export=download&id={file_id}"
+    return url
+
+
+def allowed_url(url: str) -> bool:
+    """app.py:54-57 allow-list shape, on the URL path's extension."""
+    path = urllib.parse.urlparse(url).path
+    return "." in path and path.rsplit(".", 1)[1].lower() in ALLOWED_EXTENSIONS
+
+
+def fetch_url(
+    url: str, max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT
+) -> bytes:
+    """Driver-side download with the reference's guards (app.py:379-406)
+    plus a hard streamed-bytes cap (the reference only checks the
+    Content-Length header, which a server can lie about)."""
+    url = rewrite_gdrive_url(url)
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        length = resp.headers.get("Content-Length")
+        if length and int(length) > max_bytes:
+            raise ValueError(
+                f"file too large: {length} bytes > {max_bytes} limit"
+            )
+        chunks, total = [], 0
+        while True:
+            chunk = resp.read(8192)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(f"stream exceeded {max_bytes}-byte limit")
+            chunks.append(chunk)
+        return b"".join(chunks)
+
+
+def _ts(turn_idx: int) -> datetime:
+    return datetime.fromtimestamp(
+        _EPOCH.timestamp() + 60 * turn_idx, tz=timezone.utc
+    ).replace(tzinfo=None)
+
+
+def parse_payload(url: str, payload: bytes) -> list[tuple]:
+    """Payload bytes → transcript rows (conv_id, turn_idx, role, text,
+    tool, ts). Deterministic; conv_id for plain text = sha256(url)."""
+    text = payload.decode("utf-8", errors="replace")
+    ext = urllib.parse.urlparse(url).path.rsplit(".", 1)[1].lower()
+    rows: list[tuple] = []
+    if ext == "jsonl":
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            idx = int(d["turn_idx"])
+            ts = (
+                datetime.fromisoformat(d["ts"]).replace(tzinfo=None)
+                if d.get("ts")
+                else _ts(idx)
+            )
+            rows.append(
+                (str(d["conv_id"]), idx, d.get("role", "user"),
+                 d.get("text", ""), d.get("tool", ""), ts)
+            )
+    else:
+        conv_id = "url-" + hashlib.sha256(url.encode()).hexdigest()[:16]
+        paragraphs = [p.strip() for p in text.split("\n\n") if p.strip()]
+        for idx, para in enumerate(paragraphs):
+            role = "user" if idx % 2 == 0 else "assistant"
+            rows.append((conv_id, idx, role, para, "", _ts(idx)))
+    return rows
+
+
+def ingest(spark, manifest_path: str, output_path: str,
+           max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT) -> dict:
+    """Manifest (one URL per line; '#' comments) → transcripts parquet.
+    Returns {n_urls, n_fetched, n_rejected, n_turns, errors}."""
+    from mistral_ocr_app_spark.sources.io import TRANSCRIPT_SCHEMA
+
+    with open(manifest_path) as f:
+        urls = [u.strip() for u in f if u.strip() and not u.startswith("#")]
+
+    rows, errors, n_rejected = [], [], 0
+    for url in urls:
+        if not allowed_url(url):
+            n_rejected += 1
+            errors.append({"url": url, "err": "extension not allowed"})
+            continue
+        try:
+            payload = fetch_url(url, max_bytes=max_bytes, timeout=timeout)
+            rows.extend(parse_payload(url, payload))
+        except Exception as e:  # one bad URL must not kill the batch
+            n_rejected += 1
+            errors.append({"url": url, "err": str(e)[:200]})
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    df.write.mode("overwrite").parquet(output_path)
+    return {
+        "n_urls": len(urls),
+        "n_fetched": len(urls) - n_rejected,
+        "n_rejected": n_rejected,
+        "n_turns": len(rows),
+        "errors": errors,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--manifest", required=True, help="text file, one URL per line")
+    ap.add_argument("--output", required=True, help="transcripts parquet dir")
+    ap.add_argument("--max-bytes", type=int, default=DEFAULT_MAX_BYTES)
+    ap.add_argument("--timeout", type=int, default=DEFAULT_TIMEOUT)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("transcript_ingestion").getOrCreate()
+    stats = ingest(spark, args.manifest, args.output,
+                   max_bytes=args.max_bytes, timeout=args.timeout)
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

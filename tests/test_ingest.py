@@ -1,0 +1,97 @@
+"""S2 ingestion job: file:// manifest → schema-conformant transcripts
+parquet, with the reference's URL guards (GDrive rewrite, size limit,
+extension allow-list — app.py:362-406,54-57)."""
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/jobs")
+
+from ingest_url_list import (  # noqa: E402
+    allowed_url,
+    ingest,
+    rewrite_gdrive_url,
+)
+
+
+def test_gdrive_rewrite_matches_reference_semantics():
+    assert (
+        rewrite_gdrive_url("https://drive.google.com/file/d/ABC123/view")
+        == "https://drive.google.com/uc?export=download&id=ABC123"
+    )
+    assert (
+        rewrite_gdrive_url("https://drive.google.com/uc?id=XYZ&export=view")
+        == "https://drive.google.com/uc?export=download&id=XYZ"
+    )
+    # non-drive and unparsable drive URLs pass through untouched
+    assert rewrite_gdrive_url("https://example.com/a.txt") == "https://example.com/a.txt"
+    assert (
+        rewrite_gdrive_url("https://drive.google.com/other/path")
+        == "https://drive.google.com/other/path"
+    )
+
+
+def test_extension_allowlist():
+    assert allowed_url("file:///x/turns.jsonl")
+    assert allowed_url("https://h/doc.TXT")
+    assert not allowed_url("https://h/archive.zip")
+    assert not allowed_url("https://h/noext")
+
+
+@pytest.fixture()
+def manifest(tmp_path):
+    jsonl = tmp_path / "turns.jsonl"
+    jsonl.write_text(
+        "\n".join(
+            json.dumps(
+                {"conv_id": "c1", "turn_idx": i, "role": "user", "text": f"turn {i}"}
+            )
+            for i in range(3)
+        )
+    )
+    doc = tmp_path / "doc.txt"
+    doc.write_text("first paragraph\n\nsecond paragraph\n\nthird")
+    big = tmp_path / "big.txt"
+    big.write_text("x" * 5000)
+    bad = tmp_path / "binary.zip"
+    bad.write_bytes(b"PK\x03\x04")
+    m = tmp_path / "urls.txt"
+    m.write_text(
+        "# manifest\n"
+        f"{jsonl.as_uri()}\n{doc.as_uri()}\n{big.as_uri()}\n{bad.as_uri()}\n"
+    )
+    return m
+
+
+def test_ingest_end_to_end(spark, manifest, tmp_path):
+    out = str(tmp_path / "transcripts")
+    stats = ingest(spark, str(manifest), out, max_bytes=4000)
+
+    assert stats["n_urls"] == 4
+    assert stats["n_fetched"] == 2  # big.txt over limit, .zip disallowed
+    assert stats["n_rejected"] == 2
+    errs = {e["url"].rsplit("/", 1)[1]: e["err"] for e in stats["errors"]}
+    assert "limit" in errs["big.txt"]
+    assert "extension" in errs["binary.zip"]
+
+    from mistral_ocr_app_spark.sources.io import TRANSCRIPT_SCHEMA, read_transcripts
+
+    t = read_transcripts(spark, out)
+    # parquet scans force nullable=True; names and types must match exactly
+    assert [(f.name, f.dataType) for f in t.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSCRIPT_SCHEMA.fields
+    ]
+    pdf = t.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert stats["n_turns"] == len(pdf) == 6  # 3 jsonl turns + 3 paragraphs
+    assert list(pdf[pdf["conv_id"] == "c1"]["text"]) == ["turn 0", "turn 1", "turn 2"]
+    para_conv = pdf[pdf["conv_id"] != "c1"]
+    assert para_conv["conv_id"].nunique() == 1
+    assert para_conv["conv_id"].iloc[0].startswith("url-")
+    assert list(para_conv["role"]) == ["user", "assistant", "user"]
+
+    # the landed table feeds the extraction engine directly
+    from mistral_ocr_app_spark.operators.extract import extract_turns
+
+    assert extract_turns(t).count() == 6
