@@ -11,6 +11,9 @@ import os
 
 from pyspark.sql import SparkSession
 
+# single source of truth — bench.py cites this in its written evidence
+ADVISORY_PARTITION_SIZE = "2m"
+
 
 def get_spark(
     cores: int | None = None,
@@ -35,7 +38,10 @@ def get_spark(
         # skewed bench corpus at 32 cores: 64m→8m gained 1.5×, 8m→2m
         # another 2× (169k turns: 2.9s→1.2s; 1M turns: 4.8s→2.4s);
         # 1m over-splits the larger shuffle and regresses
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            ADVISORY_PARTITION_SIZE,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
