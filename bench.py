@@ -142,14 +142,15 @@ def bench_extraction(spark, replicate: int = 1, trials: int = 1) -> dict:
     )
     # interference rejection: this shared VM has windows where the
     # shuffle-heavy assembly reduce slows 5-30x while pure-CPU extraction
-    # barely moves (same code measured 2.4s and 32.6s minutes apart). The
-    # assembled/extract ratio is ~1.3 in clean windows, so a large ratio
-    # is co-tenant noise, not our plan — retry up to 2 extra trials.
+    # barely moves (same code measured 34s and 11s back-to-back; 2.4s in
+    # clean windows). The assembled/extract ratio is ~1.3-2 when clean,
+    # so a large ratio is co-tenant noise, not our plan — retry up to 3
+    # extra trials and keep the min.
     extra = 0
-    while t_assemble > 4 * t_extract and extra < 2:
+    while t_assemble > 3 * t_extract and extra < 3:
         extra += 1
         log(f"[bench] assemble {t_assemble:.1f}s vs extract {t_extract:.1f}s — "
-            f"interference suspected, retry {extra}/2")
+            f"interference suspected, retry {extra}/3")
         t_assemble = min(
             t_assemble,
             _timed(lambda: _noop_write(assemble_conversations(extract_turns(transcripts)))),
