@@ -53,6 +53,27 @@ def test_chunked_handles_pathological_conversation(spark):
     assert row["combined_app"].startswith(flat_head)
 
 
+def test_chunked_equals_flat_on_random_gapped_conversations(spark):
+    """Seeded-random conversations with gapped/sparse turn_idx, empty and
+    unicode texts, across several chunk sizes — chunked must equal flat."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for c in range(30):
+        idxs = sorted(rng.sample(range(0, 500), rng.randint(1, 40)))
+        for i in idxs:
+            text = rng.choice(["", "short", "слово " * rng.randint(0, 5), f"t{i}"])
+            rows.append((f"conv-{c:03d}", i, text))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+    flat = _sorted_pdf(assemble_conversations(df))
+    for chunk_size in (1, 7, 64, 10_000):
+        chunked = _sorted_pdf(assemble_conversations_chunked(df, chunk_size))
+        pd.testing.assert_frame_equal(flat, chunked)
+
+
 def test_gapped_turn_idx_headers_match_reference_semantics(spark):
     """app.py:820 numbers by the page's own index field (+1), not by
     position — gapped turn_idx must yield gapped headers."""
