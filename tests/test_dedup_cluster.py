@@ -1,0 +1,102 @@
+"""Connected-components canonicalization: differential-tested against a
+pure-Python union-find on seeded-random pair graphs, plus the full
+dedup job end-to-end on the driver testdata."""
+
+import json
+import random
+import sys
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_app_spark.operators.dedup_cluster import (
+    canonicalize,
+    connected_components,
+)
+
+sys.path.insert(0, "/root/repo/jobs")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min element of each component
+    comp_min = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, r), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = range(trial * 1000, trial * 1000 + 300)
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(50, 400))
+            }
+        )
+        expected = _union_find_components(pairs)
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"trial {trial}: component mismatch"
+
+
+def test_components_long_chain_converges(spark):
+    """A 64-hop path graph — the adversarial case for plain neighbor-min
+    propagation (O(diameter) rounds) — must converge fast via the
+    pointer-jumping phase (label distances halve per round)."""
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = connected_components(df).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 65
+
+
+def test_canonicalize_covers_unpaired_docs(spark):
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 4), (4, 7)], "doc_a long, doc_b long")
+    m = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+         for r in canonicalize(docs, pairs).collect()}
+    assert m[1] == (1, True) and m[4] == (1, False) and m[7] == (1, False)
+    for d in (0, 2, 3, 5, 6, 8, 9):
+        assert m[d] == (d, True)
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """Full job on the driver documents table: mapping is total, the
+    survivor rule is min-id, and exact duplicates (identical text) are
+    never both canonical."""
+    from dedup_job import exact_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = exact_pairs(docs)
+    mapping = canonicalize(docs, pairs)
+    out = mapping.toPandas()
+    assert len(out) == docs.count()
+    assert (out["canonical_id"] <= out["doc_id"]).all()
+    # exact-dup groups collapse to one canonical representative
+    joined = (
+        docs.select("doc_id", "text")
+        .join(mapping, "doc_id")
+        .groupBy(F.sha2("text", 256))
+        .agg(F.countDistinct("canonical_id").alias("n_canon"))
+    )
+    assert joined.filter(F.col("n_canon") > 1).count() == 0
