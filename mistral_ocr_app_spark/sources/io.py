@@ -46,6 +46,28 @@ def write_turns(extracted: DataFrame, path: str, partition_cols: list[str] | Non
     writer.parquet(path)
 
 
+def write_turns_bucketed(
+    extracted: DataFrame, table_name: str, n_buckets: int = 64
+) -> None:
+    """Bucketed sink (SURVEY §4.3 co-location): hash-bucket by conv_id,
+    sort files by (conv_id, turn_idx). Any later join or groupBy on
+    conv_id between tables bucketed with EQUAL bucket counts runs
+    shuffle-free — the scan itself satisfies the required distribution
+    (plan-asserted in tests/test_plans.py). At 100 TB this converts the
+    per-analysis assembly/join exchange into a one-time write cost.
+    Bucketing metadata lives in the table catalog, so this sink is
+    ``saveAsTable`` (Iceberg/Hive at scale; local warehouse in tests),
+    not a bare path."""
+    sort_cols = [c for c in ("conv_id", "turn_idx") if c in extracted.columns]
+    (
+        extracted.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy(*sort_cols)
+        .saveAsTable(table_name)
+    )
+
+
 def write_markdown_sink(assembled: DataFrame, path: str) -> None:
     """S8: combined per-conversation markdown. One row per conversation,
     keyed by conv_id (deterministic — replaces app.py:823's

@@ -87,6 +87,43 @@ def test_lsh_self_join_is_sort_merge_not_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, fixture_paths):
+    """SURVEY §4.3 co-location: two tables bucketed on conv_id with equal
+    bucket counts must join WITHOUT any exchange — the scan satisfies
+    the distribution. This is the one-time-write / many-free-joins
+    trade that matters at 100 TB."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_app_spark.sources.io import write_turns_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_turns", "bt_stats", "bt_test"):
+        # a previous session's managed-table dir survives the in-memory
+        # catalog; saveAsTable refuses to reuse the location
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    ex = extract_turns(read_transcripts(spark, fixture_paths["transcripts"]))
+    write_turns_bucketed(ex.select("conv_id", "turn_idx", "kind"), "bt_turns", 8)
+    write_turns_bucketed(
+        ex.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")), "bt_stats", 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_turns").join(spark.table("bt_stats"), "conv_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed scans satisfy distribution
+        assert j.count() == ex.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_turns")
+        spark.sql("DROP TABLE IF EXISTS bt_stats")
+
+
 def test_salted_repartition_spreads_heavy_conv_and_preserves_results(
     spark, fixture_paths
 ):
