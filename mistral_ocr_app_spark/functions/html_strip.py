@@ -142,12 +142,26 @@ def segment_blocks(html: str) -> list[tuple[str, int, float, bool, bool]]:
             continue
         if act & _BLOCK and parts:
             flush(boiler > 0, heading > 0)
+        # counter updates clamp at 0 without a builtin max() call — this
+        # loop runs once per tag and the call overhead is measurable
         if act & _BOILER:
-            boiler = max(0, boiler + (-1 if closing else 1))
+            if closing:
+                if boiler:
+                    boiler -= 1
+            else:
+                boiler += 1
         if act & _HEAD:
-            heading = max(0, heading + (-1 if closing else 1))
+            if closing:
+                if heading:
+                    heading -= 1
+            else:
+                heading += 1
         elif act & _LINK:
-            link = max(0, link + (-1 if closing else 1))
+            if closing:
+                if link:
+                    link -= 1
+            else:
+                link += 1
     if parts:
         flush(boiler > 0, heading > 0)
     return blocks
