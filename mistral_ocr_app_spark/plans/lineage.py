@@ -87,12 +87,14 @@ def pending_transcripts(
     return transcripts.join(F.broadcast(lin_done), "bucket", "left_anti")
 
 
-def lineage_rows(extracted_with_bucket: DataFrame) -> DataFrame:
-    """Per-bucket commit rows: counts + order-insensitive fingerprint +
-    per-kind metrics (the reference's processing_info analog,
-    app.py:720-726)."""
-    row_hash = F.xxhash64("conv_id", "turn_idx", "extracted_text")
-    return extracted_with_bucket.groupBy("bucket").agg(
+def lineage_rows(
+    extracted_with_bucket: DataFrame, keys: tuple[str, ...] = ("bucket",)
+) -> DataFrame:
+    """Per-commit-unit lineage rows: counts + order-insensitive
+    fingerprint + per-kind metrics (the reference's processing_info
+    analog, app.py:720-726). Batch commits key by bucket; the streaming
+    sink keys by (bucket, epoch) — same row shape either way."""
+    return extracted_with_bucket.groupBy(*keys).agg(
         F.lit("done").alias("status"),
         F.count(F.lit(1)).alias("n_turns"),
         F.countDistinct("conv_id").alias("n_convs"),
@@ -172,7 +174,9 @@ def run_extraction_with_lineage(
     }
 
 
-def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+def verify_lineage(
+    spark: SparkSession, out_dir: str, keys: tuple[str, ...] = ("bucket",)
+) -> DataFrame:
     """Audit committed buckets: recompute (n_turns, fingerprint) from the
     data actually on disk and compare with the lineage rows. Returns the
     mismatch set — empty ⟺ every committed bucket's bytes still produce
@@ -182,25 +186,26 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
 
     The fingerprint is bit_xor of row hashes, so verification is
     order-insensitive and runs as one pass over the data."""
+    keys = list(keys)
     data = spark.read.parquet(os.path.join(out_dir, "data"))
     lineage = (
         spark.read.parquet(os.path.join(out_dir, "_lineage"))
         .filter(F.col("status") == "done")
-        .select("bucket", "n_turns", "fingerprint")
+        .select(*keys, "n_turns", "fingerprint")
     )
-    actual = data.groupBy("bucket").agg(
+    actual = data.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("actual_n_turns"),
         F.expr("bit_xor(xxhash64(conv_id, turn_idx, extracted_text))").alias(
             "actual_fingerprint"
         ),
     )
     return (
-        lineage.join(actual, "bucket", "full_outer")
+        lineage.join(actual, keys, "full_outer")
         .filter(
             (F.col("n_turns").isNull())
             | (F.col("actual_n_turns").isNull())
             | (F.col("n_turns") != F.col("actual_n_turns"))
             | (F.col("fingerprint") != F.col("actual_fingerprint"))
         )
-        .orderBy("bucket")
+        .orderBy(*keys)
     )

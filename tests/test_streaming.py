@@ -93,3 +93,50 @@ def test_stateful_conversation_progress(spark, fixture_paths, two_batch_dir):
     assert (merged["max_turn_idx"] == merged["mx"]).all()
     # state actually crossed a micro-batch boundary for split convs
     assert (final["n_batches"] >= 2).any()
+
+
+def test_streaming_exactly_once_commits(spark, fixture_paths, two_batch_dir, tmp_path):
+    """foreachBatch epoch-keyed commits: multi-micro-batch run lands the
+    golden table with per-(bucket, epoch) lineage; a full replay from
+    scratch (fresh checkpoint, same output) converges to identical data
+    and lineage instead of duplicating."""
+    from mistral_ocr_app_spark.streaming.commit import (
+        run_streaming_extraction_with_lineage,
+        verify_streaming_lineage,
+    )
+
+    out = str(tmp_path / "stream_out")
+    run_streaming_extraction_with_lineage(
+        spark, two_batch_dir, out, str(tmp_path / "ckpt1"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    data = spark.read.parquet(f"{out}/data")
+    got = (
+        data.select("conv_id", "turn_idx", "extracted_text")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+    lin = spark.read.parquet(f"{out}/_lineage").toPandas()
+    assert lin["epoch"].nunique() >= 2  # state crossed micro-batches
+    assert verify_streaming_lineage(spark, out).count() == 0
+
+    # replay from scratch into the SAME output: epoch-keyed dynamic
+    # overwrite must replace, not duplicate
+    run_streaming_extraction_with_lineage(
+        spark, two_batch_dir, out, str(tmp_path / "ckpt2"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(f"{out}/data").count() == len(gold)
+    lin2 = spark.read.parquet(f"{out}/_lineage").toPandas()
+    cols = ["bucket", "epoch", "n_turns", "fingerprint"]
+    pd.testing.assert_frame_equal(
+        lin[cols].sort_values(["bucket", "epoch"]).reset_index(drop=True),
+        lin2[cols].sort_values(["bucket", "epoch"]).reset_index(drop=True),
+    )
+    assert verify_streaming_lineage(spark, out).count() == 0
