@@ -140,3 +140,53 @@ def test_streaming_exactly_once_commits(spark, fixture_paths, two_batch_dir, tmp
         lin2[cols].sort_values(["bucket", "epoch"]).reset_index(drop=True),
     )
     assert verify_streaming_lineage(spark, out).count() == 0
+
+
+def test_compaction_to_batch_layout(spark, fixture_paths, two_batch_dir, tmp_path):
+    """Streamed (bucket, epoch) output compacts into the canonical batch
+    layout: fewer files, batch-keyed lineage, fingerprints cross-checked
+    (xor of epoch fingerprints == compacted fingerprint), and the batch
+    fingerprint audit passes on the result."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from compact_job import compact
+
+    from mistral_ocr_app_spark.plans.lineage import verify_lineage
+    from mistral_ocr_app_spark.streaming.commit import (
+        run_streaming_extraction_with_lineage,
+    )
+
+    stream_out = str(tmp_path / "stream_out")
+    run_streaming_extraction_with_lineage(
+        spark, two_batch_dir, stream_out, str(tmp_path / "ck"),
+        n_buckets=8, max_files_per_trigger=1,
+    )
+    batch_out = str(tmp_path / "batch_out")
+    stats = compact(spark, stream_out, batch_out)
+    assert stats["n_output_files"] < stats["n_input_files"]
+    assert stats["n_buckets"] == 8
+
+    # compacted table == streamed table == golden
+    got = (
+        spark.read.parquet(f"{batch_out}/data")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(fixture_paths["golden_turns"])
+        [["conv_id", "turn_idx", "extracted_text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+    # the BATCH audit accepts the compacted output — one table contract
+    assert verify_lineage(spark, batch_out).count() == 0
+
+    # corruption is caught BEFORE lineage commit: drop one epoch file
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{stream_out}/data/bucket=*/epoch=*/part-*"))[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="fingerprint mismatch"):
+        compact(spark, stream_out, str(tmp_path / "batch_out2"))
