@@ -78,7 +78,9 @@ def main() -> int:
     if not args.skip_near_dup:
         # same banded-LSH shape as the d4 catalog query, built directly
         # from the loaded table (the catalog entry re-reads an sf dir)
-        sigs = minhash_signatures(docs)
+        # production path: xxhash64 base hash (~4x cheaper than the
+        # oracle-portable md5 family; same banded-LSH construction)
+        sigs = minhash_signatures(docs, portable=False)
         rows_per_band = N_MINHASH // LSH_BANDS
         bands = sigs.select(
             "doc_id",
