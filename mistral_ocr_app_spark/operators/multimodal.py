@@ -88,12 +88,23 @@ def parse_png_dims(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_mp4_frame_count(content: bytes) -> int | None:
+    """Real header parse of our synthetic mp4-like container: an ftyp
+    box whose bytes 8..12 carry a big-endian frame count (a stand-in
+    for the mvhd/stts walk a real demuxer does — the byte-level parsing
+    through Arrow is the part under test, the codec is not)."""
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return int(struct.unpack(">I", content[8:12])[0])
+    return None
+
+
 def _decode_stub(content: bytes, kind: str) -> dict:
     """Deterministic stand-in for the pixel/sample decoder.
 
     Real codecs (PIL, ffmpeg) are unavailable in this container; at
     deploy time this function body is replaced by the real decode.
-    Everything it returns is a pure function of the bytes, so tests and
+    Header parsing (PNG IHDR dims, mp4-container frame count) is real;
+    everything else is a pure function of the bytes, so tests and
     retries are stable.
     """
     digest = hashlib.sha256(content).hexdigest()
@@ -106,7 +117,8 @@ def _decode_stub(content: bytes, kind: str) -> dict:
         dims = (w, h)
     n_frames = 1
     if kind == "video":
-        n_frames = 8 + int(digest[8:10], 16) % 120
+        parsed = parse_mp4_frame_count(content)
+        n_frames = parsed if parsed is not None else 8 + int(digest[8:10], 16) % 120
     elif kind == "audio":
         n_frames = 1000 + int(digest[8:12], 16) % 44100
     return {
@@ -243,6 +255,17 @@ _PNG_DIMS_SQL = (
     "CAST(240 + (doc_id % 7) * 32 AS INT)",
 )
 
+# synthetic mp4-like container: size + 'ftyp' (sniffs as mp4), then a
+# 4-byte big-endian frame count the decoder's real header parse reads
+_MP4_PREFIX = b"\x00\x00\x00\x18ftyp"
+
+
+def _mp4_frames():
+    return 24 + (F.col("doc_id") % 7) * 16
+
+
+_MP4_FRAMES_SQL = "(24 + (doc_id % 7) * 16)"
+
 
 def _be32(col) -> "F.Column":
     """int column → 4 big-endian bytes (hex → lpad 8 → unhex)."""
@@ -259,15 +282,24 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "video")
         .otherwise("audio")
     )
-    content = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.lit(_PNG_PREFIX),
-            _be32(_png_w()),
-            _be32(_png_h()),
-            F.encode("text", "utf-8"),
-        ),
-    ).otherwise(F.encode("text", "utf-8"))
+    content = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(_PNG_PREFIX),
+                _be32(_png_w()),
+                _be32(_png_h()),
+                F.encode("text", "utf-8"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(_MP4_PREFIX), _be32(_mp4_frames()), F.encode("text", "utf-8")
+            ),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -321,12 +353,21 @@ def m1_png_dims(spark, sf_dir):
 
 @register(
     "m2_video_frame_sample",
-    None,
+    f"""
+    SELECT doc_id AS media_id, CAST(16 * g.i AS INT) AS frame_idx
+    FROM documents CROSS JOIN generate_series(0, 7) g(i)
+    WHERE doc_id % 3 = 1 AND doc_id < 300
+      AND 16 * g.i < {_MP4_FRAMES_SQL}
+    """,
     "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
-    "(mapInPandas fan-out batch shape)",
+    "(mapInPandas fan-out batch shape). Value-oracled: the synthetic "
+    "container's ftyp header carries a big-endian frame count the "
+    "decoder's REAL header parse must recover, so the fan-out row set "
+    "is SQL-predictable; the per-frame digest (binary-dependent) stays "
+    "engine-side and is covered by test_multimodal determinism checks",
 )
 def m2_video_frame_sample(spark, sf_dir):
     media = media_from_documents(
         load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     )
-    return sample_video_frames(media, every_k=16)
+    return sample_video_frames(media, every_k=16).select("media_id", "frame_idx")

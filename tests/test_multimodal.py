@@ -48,10 +48,14 @@ def test_feature_extraction_schema_and_png_path(spark):
     assert (img["format"] == "png").all()
     assert (img["width"] == 320 + (img["media_id"] % 5) * 64).all()
     assert (img["height"] == 240 + (img["media_id"] % 7) * 32).all()
-    # non-image rows get deterministic synthetic dims
-    other = pdf[pdf["kind"] != "image"]
-    assert (other["format"] == "unknown").all()
-    assert other["width"].between(64, 1024).all()
+    # video rows carry the synthetic mp4 container → real sniff + real
+    # frame-count header parse; audio rows are raw bytes → unknown
+    vid = pdf[pdf["kind"] == "video"]
+    assert (vid["format"] == "mp4").all()
+    assert (vid["n_frames"] == 24 + (vid["media_id"] % 7) * 16).all()
+    aud = pdf[pdf["kind"] == "audio"]
+    assert (aud["format"] == "unknown").all()
+    assert aud["width"].between(64, 1024).all()
 
 
 def test_feature_extraction_deterministic(spark):
