@@ -1,0 +1,50 @@
+"""Quality-filter job: verdicts consistent with the oracled c2 catalog
+query, every row lands in exactly one of kept/rejected, rejects carry
+per-rule reasons."""
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/jobs")
+
+from filter_job import quality_flags  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_flags_consistent_with_c2_catalog_query(spark):
+    """c2_quality_score's quality_pass uses the same min-tokens +
+    stopword-band rules; with the extra rules disabled the job must
+    reproduce it exactly (both are built from the same expressions,
+    but c2 is DuckDB-oracled — this transfers that trust)."""
+    from mistral_ocr_app_spark.operators import catalog
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    ours = quality_flags(
+        docs, min_tokens=20, max_tokens=10**9, mean_len_hi=1e9,
+        langs=("latin-en", "latin-es"),
+    ).select("doc_id", F.col("quality_pass").cast("int").alias("qp"))
+    c2 = catalog.queries()["c2_quality_score"](spark, SF_DIR).select(
+        "doc_id", F.col("quality_pass").alias("qp_c2")
+    )
+    joined = ours.join(c2, "doc_id")
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("qp") != F.col("qp_c2")).count() == 0
+
+
+def test_partition_is_total_and_reasons_recorded(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flagged = quality_flags(docs, min_tokens=30)
+    n = docs.count()
+    kept = flagged.filter("quality_pass")
+    rejected = flagged.filter("NOT quality_pass")
+    assert kept.count() + rejected.count() == n
+    # every reject fails at least one named rule
+    rule_cols = [c for c in flagged.columns if c.startswith("pass_")]
+    no_reason = rejected.filter(
+        F.forall(F.array(*[F.col(c) for c in rule_cols]), lambda x: x)
+    )
+    assert no_reason.count() == 0
