@@ -9,7 +9,7 @@ Packaging (pure-Python engine, no native deps — SURVEY §4.3):
         --input  /path/to/transcripts_parquet_or_iceberg \\
         --output /path/to/output_dir \\
         --buckets 4096 \\
-        [--assemble] [--chunk-size 4096] [--resume-only]
+        [--assemble] [--chunk-size 4096] [--resume-only] [--audit]
 
 On a cluster, --input can be an Iceberg table path; the job is resumable:
 re-submission after a failure skips buckets already committed to
@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--resume-only", action="store_true",
                     help="report committed/pending bucket counts and exit "
                          "without extracting anything")
+    ap.add_argument("--audit", action="store_true",
+                    help="run the lineage fingerprint audit on the output "
+                         "and exit (nonzero when any committed bucket's "
+                         "bytes no longer match their recorded fingerprint)")
     ap.add_argument("--chunk-size", type=int, default=0,
                     help="assemble hierarchically with this many turns per "
                          "chunk (bounds per-group memory for pathological "
@@ -65,8 +69,20 @@ def main() -> int:
         committed_lineage,
         pending_transcripts,
         run_extraction_with_lineage,
+        verify_lineage,
     )
     from mistral_ocr_app_spark.sources.io import write_markdown_sink
+
+    if args.audit:
+        bad = verify_lineage(spark, args.output)
+        n_bad = bad.count()
+        print(json.dumps({
+            "audit": True,
+            "n_mismatched_buckets": n_bad,
+            "buckets": [r["bucket"] for r in bad.select("bucket").collect()][:100],
+        }))
+        spark.stop()
+        return 1 if n_bad else 0
 
     if args.resume_only:
         lin = committed_lineage(spark, f"{args.output}/_lineage")
