@@ -1,17 +1,29 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
 The reference handles images as base64 blobs written to disk
-(app.py:218-246) and rasterized PDF pages (app.py:273-306). At corpus
-scale the engine instead carries media as a ``binary`` column with a
-typed metadata struct, and runs decode / feature-extract / resize /
-frame-sample as Arrow-batched ``mapInPandas`` stages.
+(app.py:218-246, 585-589) and rasterized PDF pages (app.py:273-306). At
+corpus scale the engine instead carries media as a ``binary`` column
+with a typed metadata struct, and runs decode / feature-extract /
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode
-kernels are deterministic STUBS behind ``_decode_stub`` — magic-byte
-sniffing and header parsing are real; pixel decoding returns a
-deterministic synthetic result derived from the byte content. The
-Spark-side plumbing — schemas, batch iteration, partitioning, binary
-transport through Arrow — is real and tested.
+What is REAL vs stubbed (container has no PIL/ffmpeg):
+
+* PNG: **fully real** — ``functions/png.py`` is a stdlib-only codec
+  (zlib IDAT inflate + per-scanline unfilter, CRC-verified), so image
+  width/height/pixels are genuinely decoded, and ``resize_images``
+  performs a real nearest-neighbor downsample and re-encodes a real
+  PNG thumbnail.
+* WAV: **real header parse** — RIFF/WAVE chunk walk gives the PCM
+  frame count from the container's fmt/data chunks.
+* MP4: the synthetic ftyp container's big-endian frame count is read
+  by a real header parse; actual video *sample* decode stays an honest
+  deterministic stub (needs ffmpeg).
+* Unknown formats (e.g. real-world JPEG): deterministic digest-derived
+  fallback, ``decoded = false``.
+
+Magic-byte sniffing is real for all formats. The Spark-side plumbing —
+schemas, batch iteration, partitioning, binary transport through
+Arrow — is real and tested end to end.
 """
 
 from __future__ import annotations
@@ -24,6 +36,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.png import (
+    PngError,
+    WavError,
+    build_wav,
+    decode_png,
+    encode_png,
+    parse_wav_header,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,9 +69,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("format", T.StringType()),
-        T.StructField("width", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),  # NULL unless pixels decoded
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),  # NULL unless pixels decoded
         T.StructField("content_digest", T.StringType()),
         T.StructField("decoded", T.BooleanType()),
     ]
@@ -81,7 +104,7 @@ def sniff_format(content: bytes) -> str:
 
 
 def parse_png_dims(content: bytes) -> tuple[int, int] | None:
-    """Real PNG IHDR parse: width/height are bytes 16..24 big-endian."""
+    """Header-only PNG IHDR parse: width/height at bytes 16..24 (BE)."""
     if len(content) >= 24 and content.startswith(b"\x89PNG\r\n\x1a\n"):
         w, h = struct.unpack(">II", content[16:24])
         return int(w), int(h)
@@ -92,42 +115,60 @@ def parse_mp4_frame_count(content: bytes) -> int | None:
     """Real header parse of our synthetic mp4-like container: an ftyp
     box whose bytes 8..12 carry a big-endian frame count (a stand-in
     for the mvhd/stts walk a real demuxer does — the byte-level parsing
-    through Arrow is the part under test, the codec is not)."""
+    through Arrow is the part under test; sample decode is not)."""
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return int(struct.unpack(">I", content[8:12])[0])
     return None
 
 
-def _decode_stub(content: bytes, kind: str) -> dict:
-    """Deterministic stand-in for the pixel/sample decoder.
+def decode_media(content: bytes, kind: str) -> dict:
+    """Best-real-effort media decode:
 
-    Real codecs (PIL, ffmpeg) are unavailable in this container; at
-    deploy time this function body is replaced by the real decode.
-    Header parsing (PNG IHDR dims, mp4-container frame count) is real;
-    everything else is a pure function of the bytes, so tests and
-    retries are stable.
+    * png → FULL pixel decode (``functions/png.py``): real width/height
+      and ``pixel_sum`` over the decoded scanlines; ``decoded = True``.
+    * wav → real RIFF header parse: ``n_frames`` = data bytes /
+      block_align from the container.
+    * mp4 → real ftyp header parse for ``n_frames``.
+    * anything else → deterministic digest-derived fallback with
+      ``decoded = False`` (the honest stub for codecs this container
+      lacks — at deploy time PIL/ffmpeg take this branch over).
     """
     digest = hashlib.sha256(content).hexdigest()
     fmt = sniff_format(content)
-    dims = parse_png_dims(content)
-    if dims is None:
-        # synthetic-but-deterministic dimensions from the digest
-        w = 64 + int(digest[:4], 16) % 960
-        h = 64 + int(digest[4:8], 16) % 540
-        dims = (w, h)
+    width = height = pixel_sum = None
     n_frames = 1
-    if kind == "video":
+    decoded = False
+    if fmt == "png":
+        try:
+            w, h, pixels = decode_png(content)
+            width, height, pixel_sum = w, h, sum(pixels)
+            decoded = True
+        except PngError:
+            pass  # corrupt/unsupported → header-less fallback below
+        if not decoded:
+            dims = parse_png_dims(content)
+            if dims:
+                width, height = dims
+    elif fmt == "wav":
+        try:
+            _, _, n_frames = parse_wav_header(content)
+        except WavError:
+            n_frames = 1
+    elif fmt == "mp4":
         parsed = parse_mp4_frame_count(content)
-        n_frames = parsed if parsed is not None else 8 + int(digest[8:10], 16) % 120
-    elif kind == "audio":
-        n_frames = 1000 + int(digest[8:12], 16) % 44100
+        n_frames = parsed if parsed is not None else 1
+    elif fmt != "empty" and kind == "video":
+        n_frames = 8 + int(digest[8:10], 16) % 120  # stub fallback
+    elif fmt != "empty" and kind == "audio":
+        n_frames = 1000 + int(digest[8:12], 16) % 44100  # stub fallback
     return {
         "format": fmt,
-        "width": dims[0],
-        "height": dims[1],
+        "width": width,
+        "height": height,
         "n_frames": n_frames,
+        "pixel_sum": pixel_sum,
         "content_digest": digest,
-        "decoded": fmt != "empty",
+        "decoded": decoded,
     }
 
 
@@ -138,16 +179,17 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         rows = []
         for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
             content = bytes(content) if content is not None else b""
-            d = _decode_stub(content, kind)
+            d = decode_media(content, kind)
             rows.append(
                 (int(mid), kind, d["format"], d["width"], d["height"],
-                 d["n_frames"], d["content_digest"], d["decoded"])
+                 d["n_frames"], d["pixel_sum"], d["content_digest"], d["decoded"])
             )
         yield pd.DataFrame(
             rows,
             columns=["media_id", "kind", "format", "width", "height",
-                     "n_frames", "content_digest", "decoded"],
-        ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+                     "n_frames", "pixel_sum", "content_digest", "decoded"],
+        ).astype({"width": "Int32", "height": "Int32", "n_frames": "int32",
+                  "pixel_sum": "Int64"})
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -176,14 +218,20 @@ def _resize(batches: Iterator[pd.DataFrame], max_side: int = 256) -> Iterator[pd
         rows = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
-            d = _decode_stub(content, "image")
-            w, h = d["width"], d["height"]
-            scale = min(1.0, max_side / max(w, h, 1))
-            tw, th = max(1, int(w * scale)), max(1, int(h * scale))
-            # STUB thumbnail: digest-derived bytes sized tw*th//64
-            thumb = hashlib.sha256(content + b"thumb").digest() * max(
-                1, (tw * th) // (64 * 32)
-            )
+            try:
+                w, h, pixels = decode_png(content)
+                tw, th, tpx = resize_nearest(w, h, pixels, max_side)
+                # REAL thumbnail: re-encoded as a valid PNG
+                thumb = encode_png(tw, th, tpx)
+            except PngError:
+                # non-PNG (no codec in container): deterministic stub
+                d = decode_media(content, "image")
+                digest = d["content_digest"]
+                w = 64 + int(digest[:4], 16) % 960
+                h = 64 + int(digest[4:8], 16) % 540
+                scale = min(1.0, max_side / max(w, h, 1))
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                thumb = hashlib.sha256(content + b"thumb").digest()
             rows.append((int(mid), tw, th, thumb))
         yield pd.DataFrame(rows, columns=["media_id", "thumb_w", "thumb_h", "thumb"]).astype(
             {"thumb_w": "int32", "thumb_h": "int32"}
@@ -191,11 +239,45 @@ def _resize(batches: Iterator[pd.DataFrame], max_side: int = 256) -> Iterator[pd
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize/thumbnail stage (decode stubbed; plumbing real)."""
+    """Resize/thumbnail stage. For PNGs this is the real thing: decode →
+    nearest-neighbor downsample (exact integer sampling, see
+    ``resize_nearest``) → re-encode a valid PNG. Non-PNG falls back to
+    the documented deterministic stub."""
     return (
         media.filter(F.col("kind") == "image")
         .select("media_id", "content")
         .mapInPandas(lambda it: _resize(it, max_side), THUMB_SCHEMA)
+    )
+
+
+THUMB_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_pixel_sum", T.LongType()),
+    ]
+)
+
+
+def _thumb_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for mid, thumb in zip(pdf["media_id"], pdf["thumb"]):
+            w, h, px = decode_png(bytes(thumb))
+            rows.append((int(mid), w, h, sum(px)))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "thumb_w", "thumb_h", "thumb_pixel_sum"]
+        ).astype({"thumb_w": "int32", "thumb_h": "int32"})
+
+
+def thumbnail_pixel_stats(thumbs: DataFrame) -> DataFrame:
+    """Decode thumbnail PNGs back to pixels (dims + pixel_sum) — proves
+    the re-encoded thumbnails are valid, decodable PNGs."""
+    return thumbs.select("media_id", "thumb").mapInPandas(
+        _thumb_stats, THUMB_STATS_SCHEMA
     )
 
 
@@ -215,7 +297,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
         rows = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
-            d = _decode_stub(content, "video")
+            d = decode_media(content, "video")
             for fi in range(0, d["n_frames"], every_k):
                 fd = hashlib.sha256(content + fi.to_bytes(4, "big")).hexdigest()[:16]
                 rows.append((int(mid), fi, fd))
@@ -226,7 +308,9 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
 
 def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Frame-sampling stage: 1 row in → n_frames/k rows out (the batch
-    shape a real ffmpeg-backed sampler would produce)."""
+    shape a real ffmpeg-backed sampler would produce). n_frames comes
+    from the real container-header parse; the per-frame digest is the
+    deterministic stand-in for the decoded frame bytes."""
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", "content")
@@ -234,81 +318,65 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     )
 
 
-# PNG magic + IHDR chunk length/type — the 16 bytes preceding the
-# big-endian width/height fields (public PNG spec)
-_PNG_PREFIX = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+# ----------------------------------------------------------- fixture table ---
 
-# per-row synthetic dims: non-constant so the m1_png_dims oracle checks a
-# real big-endian round-trip (Spark builds the header bytes; the feature
-# extractor's struct.unpack must recover exactly these values).
-# Lazy (functions, not module-level Columns): F.col needs a live session.
-def _png_w():
-    return 320 + (F.col("doc_id") % 5) * 64
-
-
-def _png_h():
-    return 240 + (F.col("doc_id") % 7) * 32
-
-
-_PNG_DIMS_SQL = (
-    "CAST(320 + (doc_id % 5) * 64 AS INT)",
-    "CAST(240 + (doc_id % 7) * 32 AS INT)",
-)
-
-# synthetic mp4-like container: size + 'ftyp' (sniffs as mp4), then a
-# 4-byte big-endian frame count the decoder's real header parse reads
+# synthetic media table shape (deterministic functions of doc_id so every
+# decoded feature is SQL-predictable — the full-value oracle for m1/m3):
+#   image (doc_id%3==0): REAL grayscale-8 PNG, w=16+(d%5)*4, h=12+(d%7)*4,
+#       pixel(x,y) = (x + 3y + d) % 256, scanline filter (y + d) % 5
+#       (cycles all five PNG filter types across rows AND docs)
+#   video (doc_id%3==1): synthetic ftyp container, frame count 24+(d%7)*16
+#   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), data = utf-8 text
+#       bytes → n_frames = octet_length(text) // 2 via real header parse
+_IMG_W = "CAST(16 + (doc_id % 5) * 4 AS INT)"
+_IMG_H = "CAST(12 + (doc_id % 7) * 4 AS INT)"
+_MP4_FRAMES_SQL = "(24 + (doc_id % 7) * 16)"
 _MP4_PREFIX = b"\x00\x00\x00\x18ftyp"
 
 
-def _mp4_frames():
-    return 24 + (F.col("doc_id") % 7) * 16
+def _img_dims(d: int) -> tuple[int, int]:
+    return 16 + (d % 5) * 4, 12 + (d % 7) * 4
 
 
-_MP4_FRAMES_SQL = "(24 + (doc_id % 7) * 16)"
+def _img_pixels(d: int, w: int, h: int) -> bytes:
+    return bytes((x + 3 * y + d) % 256 for y in range(h) for x in range(w))
 
 
-def _be32(col) -> "F.Column":
-    """int column → 4 big-endian bytes (hex → lpad 8 → unhex)."""
-    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(did)
+            tb = (text or "").encode("utf-8")
+            if d % 3 == 0:
+                kind = "image"
+                w, h = _img_dims(d)
+                content = encode_png(
+                    w, h, _img_pixels(d, w, h), lambda y, d=d: (y + d) % 5
+                )
+            elif d % 3 == 1:
+                kind = "video"
+                frames = 24 + (d % 7) * 16
+                content = _MP4_PREFIX + struct.pack(">I", frames) + tb
+            else:
+                kind = "audio"
+                content = build_wav(tb)
+            rows.append(
+                (d, kind, content,
+                 {"mime": "application/octet-stream", "n_bytes": len(tb)})
+            )
+        yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from ``documents`` for tests and
-    the driver checks: content = text bytes with a real PNG header (IHDR
-    width/height varying per row) for every 3rd row, exercising the real
-    header-parse path end to end."""
-    kind = (
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "video")
-        .otherwise("audio")
-    )
-    content = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit(_PNG_PREFIX),
-                _be32(_png_w()),
-                _be32(_png_h()),
-                F.encode("text", "utf-8"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit(_MP4_PREFIX), _be32(_mp4_frames()), F.encode("text", "utf-8")
-            ),
-        )
-        .otherwise(F.encode("text", "utf-8"))
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        content.alias("content"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.octet_length("text").cast("int").alias("n_bytes"),
-        ).alias("meta"),
-    )
+    the driver checks. Image rows are REAL PNGs (every scanline filter
+    type exercised), audio rows are REAL WAV containers, video rows a
+    parseable synthetic container — so the feature extractor's real
+    decode paths are value-verifiable end to end."""
+    return docs.select("doc_id", "text").mapInPandas(_synth_media, MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------- catalog ---
@@ -318,37 +386,68 @@ from .registry import load, register  # noqa: E402
 
 @register(
     "m1_media_features",
-    None,  # decode stub is engine-side — rows-only driver check
+    f"""
+    WITH m AS (SELECT doc_id, strlen(text) AS nb FROM documents),
+    px AS (
+      SELECT m.doc_id, sum((x.i + 3*y.i + m.doc_id) % 256) AS ps
+      FROM m, generate_series(0, 31) x(i), generate_series(0, 35) y(i)
+      WHERE m.doc_id % 3 = 0
+        AND x.i < 16 + (m.doc_id % 5) * 4 AND y.i < 12 + (m.doc_id % 7) * 4
+      GROUP BY m.doc_id)
+    SELECT m.doc_id AS media_id,
+      CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
+      CASE m.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'wav' END AS format,
+      CASE WHEN m.doc_id % 3 = 0 THEN CAST(16 + (m.doc_id % 5) * 4 AS INT) END AS width,
+      CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT) END AS height,
+      CAST(CASE m.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 24 + (m.doc_id % 7) * 16
+           ELSE nb // 2 END AS INT) AS n_frames,
+      CAST(px.ps AS BIGINT) AS pixel_sum,
+      (m.doc_id % 3 = 0) AS decoded
+    FROM m LEFT JOIN px ON m.doc_id = px.doc_id
+    """,
     "multimodal: binary media column → decode/feature-extract via "
-    "mapInPandas (real magic-byte sniff + PNG header parse; pixel decode "
-    "stubbed deterministically — codecs absent in this container)",
+    "mapInPandas. FULL value oracle: PNG pixels genuinely decoded "
+    "(stdlib zlib inflate + unfilter, functions/png.py) so width/height/"
+    "pixel_sum are real decode outputs the SQL predicts arithmetically; "
+    "WAV frame counts from a real RIFF header parse; mp4 frame counts "
+    "from the container header. Only video/audio SAMPLE decode remains "
+    "stubbed (ffmpeg absent).",
 )
 def m1_media_features(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id", "kind", "format", "width", "height", "n_frames",
+        "pixel_sum", "decoded",
+    )
 
 
 @register(
-    "m1_png_dims",
+    "m3_thumbnail_pixels",
     f"""
-    SELECT doc_id AS media_id, 'png' AS format,
-           {_PNG_DIMS_SQL[0]} AS width,
-           {_PNG_DIMS_SQL[1]} AS height,
-           TRUE AS decoded
-    FROM documents WHERE doc_id % 3 = 0
+    WITH m AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+    t AS (SELECT doc_id, w, h,
+            CASE WHEN greatest(w, h) <= 16 THEN w
+                 ELSE greatest(1, w * 16 // greatest(w, h)) END AS tw,
+            CASE WHEN greatest(w, h) <= 16 THEN h
+                 ELSE greatest(1, h * 16 // greatest(w, h)) END AS th
+          FROM m)
+    SELECT t.doc_id AS media_id, CAST(tw AS INT) AS thumb_w, CAST(th AS INT) AS thumb_h,
+           CAST(sum(((x.i * w) // tw + 3 * ((y.i * h) // th) + t.doc_id) % 256)
+                AS BIGINT) AS thumb_pixel_sum
+    FROM t, generate_series(0, 31) x(i), generate_series(0, 35) y(i)
+    WHERE x.i < tw AND y.i < th
+    GROUP BY t.doc_id, tw, th
     """,
-    "multimodal value oracle on the NON-stubbed portion of m1: Spark "
-    "builds per-row PNG IHDR headers (big-endian width/height), the "
-    "extractor's real struct.unpack must recover them through the full "
-    "binary-Arrow-batch path — hash-level verified against DuckDB",
+    "multimodal: REAL image resize round trip — decode PNG → "
+    "nearest-neighbor downsample (exact integer sampling) → re-encode "
+    "PNG → decode the thumbnail again for dims + pixel_sum. The SQL "
+    "oracle predicts every sampled pixel, so a wrong filter/unfilter/"
+    "sampling anywhere in the two-stage Arrow pipeline hash-mismatches.",
 )
-def m1_png_dims(spark, sf_dir):
+def m3_thumbnail_pixels(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))
-    return (
-        extract_media_features(media)
-        .filter(F.col("format") == "png")
-        .select("media_id", "format", "width", "height", "decoded")
-    )
+    return thumbnail_pixel_stats(resize_images(media, max_side=16))
 
 
 @register(
