@@ -331,6 +331,79 @@ def minhash_signatures(docs: DataFrame, portable: bool = True) -> DataFrame:
 _ROWS_PER_BAND = N_MINHASH // LSH_BANDS
 
 
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """MinHash signatures → banded rows (doc_id, band, bucket): the
+    bucket key is the concatenation of the band's signature rows."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(
+                                "sig", b * _ROWS_PER_BAND + r + 1
+                            ).cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """(band, bucket) self-join → distinct candidate pairs (doc_a < doc_b).
+
+    Sort-merge self-join, hinted: under small local stats Catalyst would
+    broadcast the UNBOUNDED bands relation — a plan that cannot exist at
+    10^12 scale — and a groupBy+pair-expansion concentrates each
+    mega-bucket's k²/2 pairs into one task (measured 3× slower). SMJ
+    streams pairs and AQE skew-join splits hot (band, bucket) partitions.
+
+    ``max_bucket_size``: ceiling on bucket membership. AQE spreads a hot
+    bucket's JOIN across tasks, but a stopword-like bucket with k members
+    still EMITS O(k²) candidate pairs that the downstream Jaccard verify
+    must process. Buckets over the ceiling are dropped, not sub-split:
+    a bucket that big means the band's signature rows carry almost no
+    selectivity for those docs (boilerplate shingles), and any true near-dup
+    pair in it collides in its other, selective bands with high
+    probability. Returns ``(pairs, dropped)`` where ``dropped`` is the
+    (band, bucket, k) relation of dropped buckets — callers MUST surface
+    its counts (no silent caps); ``None`` when no ceiling was set.
+    The dropped relation is broadcast for the anti-join: it has at most
+    ``n_docs * LSH_BANDS / max_bucket_size`` rows by construction.
+    """
+    dropped = None
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("k"))
+        dropped = sizes.filter(F.col("k") > max_bucket_size)
+        bands = bands.join(
+            F.broadcast(dropped.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs, dropped
+
+
 @register(
     "d4_minhash_lsh_candidates",
     f"""
@@ -354,46 +427,14 @@ _ROWS_PER_BAND = N_MINHASH // LSH_BANDS
     "Scale path for d3 (no quadratic self-join; shuffle on band buckets)",
 )
 def d4_minhash_lsh_candidates(spark, sf_dir):
+    # no bucket ceiling here: the catalog query is the raw-candidate
+    # demo the oracle reproduces exactly; the production path
+    # (jobs/dedup_job.py) applies the mega-bucket guard and surfaces
+    # its dropped-bucket counts in the job stats.
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    rows_per_band = _ROWS_PER_BAND
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    # sort-merge self-join on (band, bucket), hinted: under small local
-    # stats Catalyst would broadcast the UNBOUNDED bands relation — a
-    # plan that cannot exist at 10^12 scale — and a groupBy+in-array
-    # pair expansion concentrates each mega-bucket's k²/2 pairs into
-    # one task (measured 3× slower here: max bucket 2649 docs). SMJ
-    # streams pairs, AQE skew-join splits hot (band, bucket) partitions,
-    # and it is the shape that survives a 1000-executor corpus.
-    a, b = bands.alias("a"), bands.hint("merge").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    bands = lsh_bands(minhash_signatures(docs))
+    pairs, _ = lsh_candidate_pairs(bands)
+    return pairs
 
 
 N_SIMHASH_BITS = 64

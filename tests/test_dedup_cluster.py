@@ -100,3 +100,72 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         .agg(F.countDistinct("canonical_id").alias("n_canon"))
     )
     assert joined.filter(F.col("n_canon") > 1).count() == 0
+
+
+def _adversarial_docs(spark, n_clones=200, n_unique=20):
+    """One mega-cluster of identical docs (every LSH band collapses to a
+    single bucket of n_clones members) + a tail of distinct docs."""
+    rows = [(i, "boilerplate header text repeated verbatim across the crawl")
+            for i in range(n_clones)]
+    rows += [(10_000 + i, f"unique document {i} with tokens {i * 7} {i * 13} {i * 29}")
+             for i in range(n_unique)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_mega_bucket_guard_bounds_candidates(spark):
+    from mistral_ocr_app_spark.operators.corpus import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _adversarial_docs(spark)
+    bands = lsh_bands(minhash_signatures(docs, portable=False))
+
+    uncapped, none_dropped = lsh_candidate_pairs(bands)
+    assert none_dropped is None
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 200 * 199 // 2  # quadratic blowup without the guard
+
+    capped, dropped = lsh_candidate_pairs(bands, max_bucket_size=50)
+    assert capped.count() < 1000  # bounded: mega-bucket never emits pairs
+    drop = dropped.toPandas()
+    assert len(drop) >= 1  # surfaced, not silent
+    assert (drop["k"] > 50).all()
+    assert drop["k"].max() == 200  # the clone bucket, per band
+
+
+def test_lsh_guard_is_noop_on_normal_corpus(spark):
+    """Ceiling above every real bucket: identical candidate output and an
+    empty dropped relation (set equality via distinct subtract — the
+    pairs are already distinct)."""
+    from mistral_ocr_app_spark.operators.corpus import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bands = lsh_bands(minhash_signatures(docs, portable=False))
+    uncapped, _ = lsh_candidate_pairs(bands)
+    capped, dropped = lsh_candidate_pairs(bands, max_bucket_size=10**6)
+    assert dropped.count() == 0
+    assert uncapped.subtract(capped).count() == 0
+    assert capped.subtract(uncapped).count() == 0
+
+
+def test_dedup_job_guard_end_to_end(spark):
+    """With the guard dropping the clone mega-bucket, the exact-dup path
+    still collapses the clones into one cluster — verified pairs change
+    only where the guard is SUPPOSED to cut (raw candidate volume)."""
+    from dedup_job import exact_pairs, near_dup_pairs
+
+    docs = _adversarial_docs(spark)
+    near, dropped = near_dup_pairs(docs, max_bucket_size=50)
+    assert dropped.count() >= 1
+    pairs = exact_pairs(docs).unionByName(near).distinct()
+    mapping = canonicalize(docs, pairs).toPandas()
+    clones = mapping[mapping["doc_id"] < 10_000]
+    assert (clones["canonical_id"] == 0).all()  # exact path: one cluster
+    uniq = mapping[mapping["doc_id"] >= 10_000]
+    assert (uniq["canonical_id"] == uniq["doc_id"]).all()
