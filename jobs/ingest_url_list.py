@@ -136,27 +136,51 @@ def parse_payload(url: str, payload: bytes) -> list[tuple]:
     return rows
 
 
+DEFAULT_WORKERS = 8
+
+
+def _fetch_one(url: str, max_bytes: int, timeout: int):
+    """(url) → (payload | None, error | None). Never raises — one bad
+    URL must not kill the batch."""
+    if not allowed_url(url):
+        return None, "extension not allowed"
+    try:
+        return fetch_url(url, max_bytes=max_bytes, timeout=timeout), None
+    except Exception as e:
+        return None, str(e)[:200]
+
+
 def ingest(spark, manifest_path: str, output_path: str,
-           max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT) -> dict:
+           max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT,
+           workers: int = DEFAULT_WORKERS) -> dict:
     """Manifest (one URL per line; '#' comments) → transcripts parquet.
-    Returns {n_urls, n_fetched, n_rejected, n_turns, errors}."""
+    Returns {n_urls, n_fetched, n_rejected, n_turns, errors}.
+
+    Fetches run on a bounded driver-side thread pool (``workers``): the
+    no-executor-network invariant holds — executors never open sockets —
+    but the reference's 30 s-per-fetch worst case no longer serializes a
+    large manifest (10⁴ URLs × 30 s would be 3.5 days sequential).
+    ``ThreadPoolExecutor.map`` preserves manifest order, so rows, stats
+    and errors are byte-identical to the sequential path (tested).
+    Network I/O releases the GIL, so threads (not processes) suffice.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from mistral_ocr_app_spark.sources.io import TRANSCRIPT_SCHEMA
 
     with open(manifest_path) as f:
         urls = [u.strip() for u in f if u.strip() and not u.startswith("#")]
 
     rows, errors, n_rejected = [], [], 0
-    for url in urls:
-        if not allowed_url(url):
-            n_rejected += 1
-            errors.append({"url": url, "err": "extension not allowed"})
-            continue
-        try:
-            payload = fetch_url(url, max_bytes=max_bytes, timeout=timeout)
-            rows.extend(parse_payload(url, payload))
-        except Exception as e:  # one bad URL must not kill the batch
-            n_rejected += 1
-            errors.append({"url": url, "err": str(e)[:200]})
+    if urls:
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            fetched = pool.map(lambda u: _fetch_one(u, max_bytes, timeout), urls)
+            for url, (payload, err) in zip(urls, fetched):
+                if err is not None:
+                    n_rejected += 1
+                    errors.append({"url": url, "err": err})
+                else:
+                    rows.extend(parse_payload(url, payload))
 
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     df.write.mode("overwrite").parquet(output_path)
@@ -175,13 +199,17 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="transcripts parquet dir")
     ap.add_argument("--max-bytes", type=int, default=DEFAULT_MAX_BYTES)
     ap.add_argument("--timeout", type=int, default=DEFAULT_TIMEOUT)
+    ap.add_argument("--workers", type=int, default=DEFAULT_WORKERS,
+                    help="driver-side fetch threads (executors never "
+                         "do network I/O)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("transcript_ingestion").getOrCreate()
     stats = ingest(spark, args.manifest, args.output,
-                   max_bytes=args.max_bytes, timeout=args.timeout)
+                   max_bytes=args.max_bytes, timeout=args.timeout,
+                   workers=args.workers)
     print(json.dumps(stats))
     spark.stop()
     return 0

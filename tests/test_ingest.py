@@ -95,3 +95,30 @@ def test_ingest_end_to_end(spark, manifest, tmp_path):
     from mistral_ocr_app_spark.operators.extract import extract_turns
 
     assert extract_turns(t).count() == 6
+
+
+def test_parallel_ingest_identical_to_sequential(spark, tmp_path):
+    """Bounded driver-side thread pool: same rows, same stats, same
+    error list as workers=1 — manifest order is preserved, so the
+    landed parquet is byte-identical regardless of completion order."""
+    files = []
+    for k in range(12):
+        p = tmp_path / f"doc{k:02d}.txt"
+        p.write_text("\n\n".join(f"doc {k} paragraph {j}" for j in range(3)))
+        files.append(p.as_uri())
+    files.insert(4, (tmp_path / "nope.zip").as_uri())  # rejected mid-list
+    m = tmp_path / "urls.txt"
+    m.write_text("\n".join(files))
+
+    out_seq, out_par = str(tmp_path / "seq"), str(tmp_path / "par")
+    stats_seq = ingest(spark, str(m), out_seq, workers=1)
+    stats_par = ingest(spark, str(m), out_par, workers=8)
+
+    assert stats_seq == stats_par
+    assert stats_par["n_fetched"] == 12 and stats_par["n_rejected"] == 1
+    a = (spark.read.parquet(out_seq).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (spark.read.parquet(out_par).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == 36
