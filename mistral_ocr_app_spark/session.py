@@ -42,6 +42,16 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             ADVISORY_PARTITION_SIZE,
         )
+        # AQE sizes coalesced partitions by INPUT bytes, but some of this
+        # engine's stages have output/CPU cost unrelated to input size —
+        # the LSH (band,bucket) self-join emits O(k²) pairs from a few
+        # MB of band rows, and the default 1m minPartitionSize collapsed
+        # it to ONE task (a 6s serial critical path; measured). 64k lets
+        # parallelismFirst actually honor the core count on small
+        # shuffles: d4 8.0s → 4.4s wall at identical total CPU, other
+        # queries unchanged (the assembly reduce at 187MB never hits
+        # the floor).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
