@@ -9,17 +9,22 @@ resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 What is REAL vs stubbed (container has no PIL/ffmpeg):
 
 * PNG: **fully real** — ``functions/png.py`` is a stdlib-only codec
-  (zlib IDAT inflate + per-scanline unfilter, CRC-verified), so image
+  (zlib IDAT inflate + per-scanline unfilter, CRC-verified) covering
+  grayscale, truecolor RGB/RGBA, and palette images, so image
   width/height/pixels are genuinely decoded, and ``resize_images``
   performs a real nearest-neighbor downsample and re-encodes a real
-  PNG thumbnail.
+  PNG thumbnail (grayscale or RGB, matching the source).
+* JPEG: **real header parse** — marker walk to the SOF frame header
+  gives true width/height for the reference's other image format
+  (app.py:46 accepts jpg/jpeg); pixel decode honestly stays
+  ``decoded = false`` (entropy decode needs a codec library).
 * WAV: **real header parse** — RIFF/WAVE chunk walk gives the PCM
   frame count from the container's fmt/data chunks.
 * MP4: the synthetic ftyp container's big-endian frame count is read
   by a real header parse; actual video *sample* decode stays an honest
   deterministic stub (needs ffmpeg).
-* Unknown formats (e.g. real-world JPEG): deterministic digest-derived
-  fallback, ``decoded = false``.
+* Unknown formats: deterministic digest-derived fallback,
+  ``decoded = false``.
 
 Magic-byte sniffing is real for all formats. The Spark-side plumbing —
 schemas, batch iteration, partitioning, binary transport through
@@ -40,9 +45,11 @@ from pyspark.sql import types as T
 from ..functions.png import (
     PngError,
     WavError,
+    build_jpeg,
     build_wav,
     decode_png,
     encode_png,
+    parse_jpeg_dims,
     parse_wav_header,
     resize_nearest,
 )
@@ -124,8 +131,12 @@ def parse_mp4_frame_count(content: bytes) -> int | None:
 def decode_media(content: bytes, kind: str) -> dict:
     """Best-real-effort media decode:
 
-    * png → FULL pixel decode (``functions/png.py``): real width/height
-      and ``pixel_sum`` over the decoded scanlines; ``decoded = True``.
+    * png → FULL pixel decode (``functions/png.py``, gray/RGB/RGBA/
+      palette): real width/height and ``pixel_sum`` over the decoded
+      pixel bytes; ``decoded = True``.
+    * jpeg → real SOF header parse for width/height; ``decoded =
+      False`` (no entropy decode in this container — PIL takes over at
+      deploy time).
     * wav → real RIFF header parse: ``n_frames`` = data bytes /
       block_align from the container.
     * mp4 → real ftyp header parse for ``n_frames``.
@@ -140,7 +151,7 @@ def decode_media(content: bytes, kind: str) -> dict:
     decoded = False
     if fmt == "png":
         try:
-            w, h, pixels = decode_png(content)
+            w, h, _ch, pixels = decode_png(content)
             width, height, pixel_sum = w, h, sum(pixels)
             decoded = True
         except PngError:
@@ -149,6 +160,10 @@ def decode_media(content: bytes, kind: str) -> dict:
             dims = parse_png_dims(content)
             if dims:
                 width, height = dims
+    elif fmt == "jpeg":
+        dims = parse_jpeg_dims(content)
+        if dims:
+            width, height = dims
     elif fmt == "wav":
         try:
             _, _, n_frames = parse_wav_header(content)
@@ -219,16 +234,21 @@ def _resize(batches: Iterator[pd.DataFrame], max_side: int = 256) -> Iterator[pd
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
             try:
-                w, h, pixels = decode_png(content)
-                tw, th, tpx = resize_nearest(w, h, pixels, max_side)
+                w, h, ch, pixels = decode_png(content)
+                tw, th, tpx = resize_nearest(w, h, pixels, max_side, channels=ch)
                 # REAL thumbnail: re-encoded as a valid PNG
-                thumb = encode_png(tw, th, tpx)
+                thumb = encode_png(tw, th, tpx, channels=ch)
             except PngError:
-                # non-PNG (no codec in container): deterministic stub
+                # non-PNG (no pixel codec in container): deterministic
+                # stub thumb; dims from the real header parse when the
+                # format has one (jpeg), digest-derived otherwise
                 d = decode_media(content, "image")
                 digest = d["content_digest"]
-                w = 64 + int(digest[:4], 16) % 960
-                h = 64 + int(digest[4:8], 16) % 540
+                if d["width"] is not None:
+                    w, h = d["width"], d["height"]
+                else:
+                    w = 64 + int(digest[:4], 16) % 960
+                    h = 64 + int(digest[4:8], 16) % 540
                 scale = min(1.0, max_side / max(w, h, 1))
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
                 thumb = hashlib.sha256(content + b"thumb").digest()
@@ -266,11 +286,16 @@ def _thumb_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             continue
         rows = []
         for mid, thumb in zip(pdf["media_id"], pdf["thumb"]):
-            w, h, px = decode_png(bytes(thumb))
-            rows.append((int(mid), w, h, sum(px)))
+            try:
+                w, h, _ch, px = decode_png(bytes(thumb))
+                rows.append((int(mid), w, h, sum(px)))
+            except PngError:
+                # resize_images' documented non-PNG fallback emits stub
+                # digest bytes — stats are honestly NULL for those rows
+                rows.append((int(mid), None, None, None))
         yield pd.DataFrame(
             rows, columns=["media_id", "thumb_w", "thumb_h", "thumb_pixel_sum"]
-        ).astype({"thumb_w": "int32", "thumb_h": "int32"})
+        ).astype({"thumb_w": "Int32", "thumb_h": "Int32", "thumb_pixel_sum": "Int64"})
 
 
 def thumbnail_pixel_stats(thumbs: DataFrame) -> DataFrame:
@@ -298,8 +323,11 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
             d = decode_media(content, "video")
+            # hash the payload ONCE per media row, then mix the frame
+            # index — O(bytes + frames), not O(bytes * frames/k)
+            base = hashlib.sha256(content).digest()
             for fi in range(0, d["n_frames"], every_k):
-                fd = hashlib.sha256(content + fi.to_bytes(4, "big")).hexdigest()[:16]
+                fd = hashlib.sha256(base + fi.to_bytes(4, "big")).hexdigest()[:16]
                 rows.append((int(mid), fi, fd))
         yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"]).astype(
             {"frame_idx": "int32"}
@@ -322,9 +350,15 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 # synthetic media table shape (deterministic functions of doc_id so every
 # decoded feature is SQL-predictable — the full-value oracle for m1/m3):
-#   image (doc_id%3==0): REAL grayscale-8 PNG, w=16+(d%5)*4, h=12+(d%7)*4,
-#       pixel(x,y) = (x + 3y + d) % 256, scanline filter (y + d) % 5
-#       (cycles all five PNG filter types across rows AND docs)
+#   image (doc_id%3==0), dims w=16+(d%5)*4, h=12+(d%7)*4, sub-split:
+#     d%9==0: REAL grayscale-8 PNG, pixel(x,y) = (x + 3y + d) % 256,
+#         scanline filter (y + d) % 5 (cycles all five filter types
+#         across rows AND docs)
+#     d%9==3: REAL truecolor RGB PNG, pixel(x,y,c) = (x + 3y + 5c + d)
+#         % 256, same filter cycle — exercises the bpp=3 unfilter path
+#     d%9==6: JPEG with a real SOF0 frame header carrying the same dims
+#         (pixel payload opaque — models the real-world JPEGs this
+#         container can header-parse but not decode)
 #   video (doc_id%3==1): synthetic ftyp container, frame count 24+(d%7)*16
 #   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), data = utf-8 text
 #       bytes → n_frames = octet_length(text) // 2 via real header parse
@@ -342,6 +376,15 @@ def _img_pixels(d: int, w: int, h: int) -> bytes:
     return bytes((x + 3 * y + d) % 256 for y in range(h) for x in range(w))
 
 
+def _img_pixels_rgb(d: int, w: int, h: int) -> bytes:
+    return bytes(
+        (x + 3 * y + 5 * c + d) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
 def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
@@ -353,9 +396,17 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if d % 3 == 0:
                 kind = "image"
                 w, h = _img_dims(d)
-                content = encode_png(
-                    w, h, _img_pixels(d, w, h), lambda y, d=d: (y + d) % 5
-                )
+                if d % 9 == 6:
+                    content = build_jpeg(w, h, tb)
+                elif d % 9 == 3:
+                    content = encode_png(
+                        w, h, _img_pixels_rgb(d, w, h),
+                        lambda y, d=d: (y + d) % 5, channels=3,
+                    )
+                else:
+                    content = encode_png(
+                        w, h, _img_pixels(d, w, h), lambda y, d=d: (y + d) % 5
+                    )
             elif d % 3 == 1:
                 kind = "video"
                 frames = 24 + (d % 7) * 16
@@ -389,29 +440,35 @@ from .registry import load, register  # noqa: E402
     f"""
     WITH m AS (SELECT doc_id, strlen(text) AS nb FROM documents),
     px AS (
-      SELECT m.doc_id, sum((x.i + 3*y.i + m.doc_id) % 256) AS ps
-      FROM m, generate_series(0, 31) x(i), generate_series(0, 35) y(i)
-      WHERE m.doc_id % 3 = 0
+      SELECT m.doc_id, sum((x.i + 3*y.i + 5*c.i + m.doc_id) % 256) AS ps
+      FROM m, generate_series(0, 31) x(i), generate_series(0, 35) y(i),
+           generate_series(0, 2) c(i)
+      WHERE m.doc_id % 3 = 0 AND m.doc_id % 9 <> 6
         AND x.i < 16 + (m.doc_id % 5) * 4 AND y.i < 12 + (m.doc_id % 7) * 4
+        AND c.i < CASE WHEN m.doc_id % 9 = 3 THEN 3 ELSE 1 END
       GROUP BY m.doc_id)
     SELECT m.doc_id AS media_id,
       CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
-      CASE m.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'wav' END AS format,
+      CASE WHEN m.doc_id % 3 = 0 THEN
+             (CASE WHEN m.doc_id % 9 = 6 THEN 'jpeg' ELSE 'png' END)
+           WHEN m.doc_id % 3 = 1 THEN 'mp4' ELSE 'wav' END AS format,
       CASE WHEN m.doc_id % 3 = 0 THEN CAST(16 + (m.doc_id % 5) * 4 AS INT) END AS width,
       CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT) END AS height,
       CAST(CASE m.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 24 + (m.doc_id % 7) * 16
            ELSE nb // 2 END AS INT) AS n_frames,
       CAST(px.ps AS BIGINT) AS pixel_sum,
-      (m.doc_id % 3 = 0) AS decoded
+      (m.doc_id % 3 = 0 AND m.doc_id % 9 <> 6) AS decoded
     FROM m LEFT JOIN px ON m.doc_id = px.doc_id
     """,
     "multimodal: binary media column → decode/feature-extract via "
     "mapInPandas. FULL value oracle: PNG pixels genuinely decoded "
-    "(stdlib zlib inflate + unfilter, functions/png.py) so width/height/"
-    "pixel_sum are real decode outputs the SQL predicts arithmetically; "
-    "WAV frame counts from a real RIFF header parse; mp4 frame counts "
-    "from the container header. Only video/audio SAMPLE decode remains "
-    "stubbed (ffmpeg absent).",
+    "(stdlib zlib inflate + unfilter, functions/png.py — grayscale AND "
+    "truecolor RGB rows) so width/height/pixel_sum are real decode "
+    "outputs the SQL predicts arithmetically; JPEG rows get real dims "
+    "from a SOF frame-header parse (decoded=false — no entropy codec "
+    "in container); WAV frame counts from a real RIFF header parse; "
+    "mp4 frame counts from the container header. Only video/audio "
+    "SAMPLE decode remains stubbed (ffmpeg absent).",
 )
 def m1_media_features(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))
@@ -425,7 +482,7 @@ def m1_media_features(spark, sf_dir):
     "m3_thumbnail_pixels",
     f"""
     WITH m AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
-               FROM documents WHERE doc_id % 3 = 0),
+               FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 6),
     t AS (SELECT doc_id, w, h,
             CASE WHEN greatest(w, h) <= 16 THEN w
                  ELSE greatest(1, w * 16 // greatest(w, h)) END AS tw,
@@ -433,17 +490,26 @@ def m1_media_features(spark, sf_dir):
                  ELSE greatest(1, h * 16 // greatest(w, h)) END AS th
           FROM m)
     SELECT t.doc_id AS media_id, CAST(tw AS INT) AS thumb_w, CAST(th AS INT) AS thumb_h,
-           CAST(sum(((x.i * w) // tw + 3 * ((y.i * h) // th) + t.doc_id) % 256)
+           CAST(sum(((x.i * w) // tw + 3 * ((y.i * h) // th) + 5 * c.i + t.doc_id) % 256)
                 AS BIGINT) AS thumb_pixel_sum
-    FROM t, generate_series(0, 31) x(i), generate_series(0, 35) y(i)
+    FROM t, generate_series(0, 31) x(i), generate_series(0, 35) y(i),
+         generate_series(0, 2) c(i)
     WHERE x.i < tw AND y.i < th
+      AND c.i < CASE WHEN t.doc_id % 9 = 3 THEN 3 ELSE 1 END
     GROUP BY t.doc_id, tw, th
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(NULL AS INT) AS thumb_w,
+           CAST(NULL AS INT) AS thumb_h, CAST(NULL AS BIGINT) AS thumb_pixel_sum
+    FROM documents WHERE doc_id % 9 = 6
     """,
-    "multimodal: REAL image resize round trip — decode PNG → "
-    "nearest-neighbor downsample (exact integer sampling) → re-encode "
-    "PNG → decode the thumbnail again for dims + pixel_sum. The SQL "
-    "oracle predicts every sampled pixel, so a wrong filter/unfilter/"
-    "sampling anywhere in the two-stage Arrow pipeline hash-mismatches.",
+    "multimodal: REAL image resize round trip — decode PNG (grayscale "
+    "AND RGB) → nearest-neighbor downsample (exact integer sampling, "
+    "all channels of the sampled pixel) → re-encode PNG → decode the "
+    "thumbnail again for dims + pixel_sum. The SQL oracle predicts "
+    "every sampled pixel/channel, so a wrong filter/unfilter/sampling "
+    "anywhere in the two-stage Arrow pipeline hash-mismatches. JPEG "
+    "rows exercise the documented stub-thumb path: stats are NULL "
+    "(thumbnail_pixel_stats tolerates non-PNG thumbs).",
 )
 def m3_thumbnail_pixels(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))

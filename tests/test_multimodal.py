@@ -9,13 +9,18 @@ import struct
 import zlib
 
 import pytest
+from pandas import isna as pd_isna
 from pyspark.sql import functions as F
 
 from mistral_ocr_app_spark.functions.png import (
+    MAX_PIXEL_BYTES,
     PngError,
+    WavError,
+    build_jpeg,
     build_wav,
     decode_png,
     encode_png,
+    parse_jpeg_dims,
     parse_wav_header,
     resize_nearest,
 )
@@ -96,7 +101,7 @@ def test_png_roundtrip_every_filter():
     px = bytes((7 * x + 31 * y + 3) % 256 for y in range(h) for x in range(w))
     for ft in range(5):
         data = encode_png(w, h, px, lambda y, ft=ft: ft)
-        assert decode_png(data) == (w, h, px)
+        assert decode_png(data) == (w, h, 1, px)
         # differential: independent spec-transcription decoder agrees
         assert _independent_decode(data) == (w, h, px)
 
@@ -105,7 +110,102 @@ def test_png_mixed_filters_differential():
     w, h = 32, 36
     px = bytes((x + 3 * y + 12) % 256 for y in range(h) for x in range(w))
     data = encode_png(w, h, px, lambda y: (y * 3 + 1) % 5)
-    assert decode_png(data) == _independent_decode(data) == (w, h, px)
+    assert decode_png(data) == (w, h, 1, px)
+    assert _independent_decode(data) == (w, h, px)
+
+
+def test_png_rgb_roundtrip_every_filter():
+    """Truecolor (color type 2): filters are byte-wise with left = 3
+    bytes back — a wrong bpp offset corrupts every Sub/Average/Paeth
+    scanline."""
+    w, h = 11, 9
+    px = bytes(
+        (7 * x + 31 * y + 5 * c + 3) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    for ft in range(5):
+        data = encode_png(w, h, px, lambda y, ft=ft: ft, channels=3)
+        assert decode_png(data) == (w, h, 3, px)
+
+
+def test_png_rgba_roundtrip():
+    w, h = 6, 7
+    px = bytes((x * y + c) % 256 for y in range(h) for x in range(w) for c in range(4))
+    data = encode_png(w, h, px, channels=4)
+    assert decode_png(data) == (w, h, 4, px)
+
+
+def test_png_palette_decode():
+    """Color type 3: indices filter at bpp=1, then expand through PLTE."""
+    import struct as _s
+    import zlib as _z
+
+    w, h = 4, 2
+    palette = bytes(range(30))  # 10 RGB entries
+    idx = bytes([0, 1, 2, 3, 9, 8, 7, 6])
+
+    def chunk(typ, body):
+        return _s.pack(">I", len(body)) + typ + body + _s.pack(
+            ">I", _z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + idx[y * w : (y + 1) * w] for y in range(h))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert decode_png(data) == (w, h, 3, expect)
+
+
+def test_png_bomb_guard():
+    """A crafted IHDR declaring absurd geometry is rejected BEFORE any
+    inflate — and an over-long deflate stream behind honest dims fails."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, body):
+        return _s.pack(">I", len(body)) + typ + body + _s.pack(
+            ">I", _z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="bomb guard"):
+        decode_png(huge)
+    assert (1 << 40) > MAX_PIXEL_BYTES  # the guard is what rejected it
+    # honest 2x2 dims, but the stream inflates to far more than 2 rows
+    overlong = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="filtered bytes"):
+        decode_png(overlong)
+
+
+def test_png_bad_ihdr_length():
+    """A CRC-valid IHDR with length != 13 raises PngError, not
+    struct.error (ADVICE r3)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, body):
+        return _s.pack(">I", len(body)) + typ + body + _s.pack(
+            ">I", _z.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="IHDR length"):
+        decode_png(data)
 
 
 def test_png_crc_corruption_detected():
@@ -140,10 +240,45 @@ def test_wav_header_roundtrip():
     assert parse_wav_header(wav) == (8000, 2, 7)
 
 
+def test_wav_truncated_fmt_raises_waverror():
+    """fmt chunk declaring 16 bytes over a truncated buffer → WavError,
+    not struct.error (ADVICE r3: one malformed RIFF must take the
+    documented fallback, never crash the Spark stage)."""
+    wav = build_wav(b"payload-bytes!")
+    truncated = wav[:22]  # cuts inside the fmt chunk body
+    with pytest.raises(WavError):
+        parse_wav_header(truncated)
+    # decode_media survives it via the fallback path
+    d = decode_media(truncated, "audio")
+    assert d["format"] == "wav" and d["n_frames"] == 1 and not d["decoded"]
+
+
+def test_jpeg_sof_header_parse():
+    """build_jpeg carries real geometry in SOF0; parse_jpeg_dims walks
+    the marker stream to recover it (ITU T.81 §B.2.2)."""
+    data = build_jpeg(640, 480, b"opaque-entropy-payload\xff\x00etc")
+    assert sniff_format(data) == "jpeg"
+    assert parse_jpeg_dims(data) == (640, 480)
+    assert parse_jpeg_dims(b"\xff\xd8\xff\xe0") is None  # truncated
+    assert parse_jpeg_dims(b"notjpeg") is None
+    # marker walk skips variable-length segments correctly: insert a
+    # comment segment before SOF
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 11) + b"hello world"
+    patched = data[:2] + com + data[2:]
+    assert parse_jpeg_dims(patched) == (640, 480)
+
+
 def test_decode_media_real_paths():
     d = decode_media(encode_png(6, 5, bytes(range(30))), "image")
     assert d["decoded"] and (d["width"], d["height"]) == (6, 5)
     assert d["pixel_sum"] == sum(range(30))
+    rgb = bytes(range(90))
+    d = decode_media(encode_png(6, 5, rgb, channels=3), "image")
+    assert d["decoded"] and (d["width"], d["height"]) == (6, 5)
+    assert d["pixel_sum"] == sum(rgb)
+    d = decode_media(build_jpeg(33, 44), "image")
+    assert d["format"] == "jpeg" and not d["decoded"]
+    assert (d["width"], d["height"]) == (33, 44) and d["pixel_sum"] is None
     d = decode_media(build_wav(b"x" * 10), "audio")
     assert d["format"] == "wav" and d["n_frames"] == 5 and not d["decoded"]
     d = decode_media(b"\x00\x00\x00\x18ftyp" + struct.pack(">I", 40), "video")
@@ -163,16 +298,28 @@ def test_feature_extraction_real_decode(spark):
     pdf = feats.toPandas()
     assert len(pdf) == 500
     img = pdf[pdf["kind"] == "image"]
-    assert (img["format"] == "png").all()
-    assert img["decoded"].all()
+    jpeg = img["media_id"] % 9 == 6
+    assert (img.loc[~jpeg, "format"] == "png").all()
+    assert (img.loc[jpeg, "format"] == "jpeg").all()
+    assert img.loc[~jpeg, "decoded"].all()  # gray AND rgb PNGs decode
+    assert not img.loc[jpeg, "decoded"].any()
+    # width/height real for ALL image rows (JPEG via SOF header parse)
     assert (img["width"] == 16 + (img["media_id"] % 5) * 4).all()
     assert (img["height"] == 12 + (img["media_id"] % 7) * 4).all()
     # pixel_sum: genuinely decoded pixels match the synthesis formula
-    for _, r in img.head(20).iterrows():
+    for _, r in img.head(30).iterrows():
         d, w, h = int(r["media_id"]), int(r["width"]), int(r["height"])
-        assert r["pixel_sum"] == sum(
-            (x + 3 * y + d) % 256 for y in range(h) for x in range(w)
-        )
+        if d % 9 == 6:
+            assert pd_isna(r["pixel_sum"])
+        elif d % 9 == 3:
+            assert r["pixel_sum"] == sum(
+                (x + 3 * y + 5 * c + d) % 256
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+        else:
+            assert r["pixel_sum"] == sum(
+                (x + 3 * y + d) % 256 for y in range(h) for x in range(w)
+            )
     vid = pdf[pdf["kind"] == "video"]
     assert (vid["format"] == "mp4").all()
     assert (vid["n_frames"] == 24 + (vid["media_id"] % 7) * 16).all()
@@ -195,18 +342,24 @@ def test_resize_real_png_thumbnails(spark):
     thumbs = resize_images(_media(spark), max_side=16)
     stats = thumbnail_pixel_stats(thumbs).toPandas()
     assert len(stats) > 0
-    assert (stats[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
-    assert (stats[["thumb_w", "thumb_h"]] >= 1).all().all()
+    png = stats[stats["media_id"] % 9 != 6]
+    assert (png[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
+    assert (png[["thumb_w", "thumb_h"]] >= 1).all().all()
+    # JPEG rows take the documented stub-thumb path → NULL stats
+    jpeg = stats[stats["media_id"] % 9 == 6]
+    assert len(jpeg) > 0 and jpeg["thumb_pixel_sum"].isna().all()
     # the re-encoded thumbnails are valid PNGs whose pixels are the exact
-    # nearest-neighbor samples of the source formula
-    for _, r in stats.head(10).iterrows():
+    # nearest-neighbor samples of the source formula (all channels)
+    for _, r in png.head(20).iterrows():
         d = int(r["media_id"])
         w, h = 16 + (d % 5) * 4, 12 + (d % 7) * 4
         tw, th = int(r["thumb_w"]), int(r["thumb_h"])
+        nch = 3 if d % 9 == 3 else 1
         expect = sum(
-            ((i * w) // tw + 3 * ((j * h) // th) + d) % 256
+            ((i * w) // tw + 3 * ((j * h) // th) + 5 * c + d) % 256
             for j in range(th)
             for i in range(tw)
+            for c in range(nch)
         )
         assert r["thumb_pixel_sum"] == expect
 
