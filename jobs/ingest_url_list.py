@@ -150,9 +150,13 @@ def _fetch_one(url: str, max_bytes: int, timeout: int):
         return None, str(e)[:200]
 
 
+DEFAULT_FLUSH_EVERY = 1000  # URLs per parquet flush
+
+
 def ingest(spark, manifest_path: str, output_path: str,
            max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT,
-           workers: int = DEFAULT_WORKERS) -> dict:
+           workers: int = DEFAULT_WORKERS,
+           flush_every: int = DEFAULT_FLUSH_EVERY) -> dict:
     """Manifest (one URL per line; '#' comments) → transcripts parquet.
     Returns {n_urls, n_fetched, n_rejected, n_turns, errors}.
 
@@ -163,6 +167,16 @@ def ingest(spark, manifest_path: str, output_path: str,
     ``ThreadPoolExecutor.map`` preserves manifest order, so rows, stats
     and errors are byte-identical to the sequential path (tested).
     Network I/O releases the GIL, so threads (not processes) suffice.
+
+    Containment: a bad URL — fetch failure OR malformed payload (bad
+    JSON, missing turn_idx...) — is recorded in ``errors``/``n_rejected``
+    and never kills the batch.
+
+    Memory: parsed rows are flushed to parquet every ``flush_every``
+    URLs (append after the first batch), so driver memory is bounded by
+    the flush window, not the manifest size — a 10⁶-URL manifest streams
+    through in constant space. Output data is identical to a single
+    flush (only parquet part-file boundaries differ; tested).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -171,24 +185,41 @@ def ingest(spark, manifest_path: str, output_path: str,
     with open(manifest_path) as f:
         urls = [u.strip() for u in f if u.strip() and not u.startswith("#")]
 
-    rows, errors, n_rejected = [], [], 0
+    rows, errors, n_rejected, n_turns = [], [], 0, 0
+    wrote_any = False
+
+    def flush(force: bool = False) -> None:
+        nonlocal rows, wrote_any, n_turns
+        if not rows and not (force and not wrote_any):
+            return
+        mode = "append" if wrote_any else "overwrite"
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.mode(mode).parquet(
+            output_path
+        )
+        n_turns += len(rows)
+        rows, wrote_any = [], True
+
     if urls:
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
             fetched = pool.map(lambda u: _fetch_one(u, max_bytes, timeout), urls)
-            for url, (payload, err) in zip(urls, fetched):
+            for i, (url, (payload, err)) in enumerate(zip(urls, fetched), 1):
                 if err is not None:
                     n_rejected += 1
                     errors.append({"url": url, "err": err})
                 else:
-                    rows.extend(parse_payload(url, payload))
-
-    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
-    df.write.mode("overwrite").parquet(output_path)
+                    try:
+                        rows.extend(parse_payload(url, payload))
+                    except Exception as e:
+                        n_rejected += 1
+                        errors.append({"url": url, "err": f"parse: {str(e)[:180]}"})
+                if flush_every and i % flush_every == 0:
+                    flush()
+    flush(force=True)  # final partial batch (or an empty table for an empty run)
     return {
         "n_urls": len(urls),
         "n_fetched": len(urls) - n_rejected,
         "n_rejected": n_rejected,
-        "n_turns": len(rows),
+        "n_turns": n_turns,
         "errors": errors,
     }
 
@@ -202,6 +233,9 @@ def main() -> int:
     ap.add_argument("--workers", type=int, default=DEFAULT_WORKERS,
                     help="driver-side fetch threads (executors never "
                          "do network I/O)")
+    ap.add_argument("--flush-every", type=int, default=DEFAULT_FLUSH_EVERY,
+                    help="write parquet every N URLs so driver memory "
+                         "bounds on N, not manifest size")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -209,7 +243,7 @@ def main() -> int:
     spark = SparkSession.builder.appName("transcript_ingestion").getOrCreate()
     stats = ingest(spark, args.manifest, args.output,
                    max_bytes=args.max_bytes, timeout=args.timeout,
-                   workers=args.workers)
+                   workers=args.workers, flush_every=args.flush_every)
     print(json.dumps(stats))
     spark.stop()
     return 0
