@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import html as html_mod
 import json
 import os
@@ -85,21 +86,69 @@ def conversation_html(row) -> str:
     )
 
 
-def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
-           limit: int | None = None) -> dict:
-    """transcripts parquet → export bundle(s). Returns stats."""
-    from mistral_ocr_app_spark.functions.markdown import secure_filename
+def _attach_media(assembled, media):
+    """Join each conversation's ``/image/<id>`` refs to the media
+    store's binary column ON THE SPARK SIDE (explode refs → equi-join
+    on image_id → re-aggregate per conversation), so the driver still
+    streams one conversation — text plus ITS images — at a time.
+    ``media`` schema: (image_id: string, content: binary)."""
+    from pyspark.sql import functions as F
+
+    refs = assembled.select(
+        "conv_id",
+        F.explode(
+            F.regexp_extract_all(
+                "combined_app", F.lit(r"!\[[^\]]*\]\((/image/[^)\s]+)\)"), 1
+            )
+        ).alias("path"),
+    )
+    per_conv = (
+        refs.withColumn("image_id", F.regexp_replace("path", "^/image/", ""))
+        .join(media.select("image_id", "content"), "image_id", "left")
+        .groupBy("conv_id")
+        .agg(F.collect_list(F.struct("path", "content")).alias("media_entries"))
+    )
+    return assembled.join(per_conv, "conv_id", "left")
+
+
+def plan_export(spark, input_path: str, limit: int | None = None,
+                media_path: str | None = None):
+    """The export's Spark plan: extract → assemble (+ optional media
+    join). A global sort happens ONLY when ``limit`` is set — it's what
+    makes "first N" deterministic; a full export streams unordered (one
+    less exchange, same file set — plan-asserted in tests)."""
     from mistral_ocr_app_spark.operators.assemble import assemble_conversations
     from mistral_ocr_app_spark.operators.extract import extract_turns
 
-    os.makedirs(output_dir, exist_ok=True)
     assembled = assemble_conversations(
         extract_turns(spark.read.parquet(input_path))
-    ).orderBy("conv_id")
+    )
     if limit:
-        assembled = assembled.limit(limit)
+        assembled = assembled.orderBy("conv_id").limit(limit)
+    if media_path is not None:
+        assembled = _attach_media(assembled, spark.read.parquet(media_path))
+    return assembled
 
-    n_convs = n_files = 0
+
+def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
+           limit: int | None = None, media_path: str | None = None) -> dict:
+    """transcripts parquet → export bundle(s). Returns stats.
+
+    With ``media_path`` (parquet of (image_id, content)) the ZIP gets
+    REAL image bytes as ``images/figure_X.png`` — the reference ships
+    actual files in its archive (README.md:49-53, app.py:585-589);
+    refs absent from the store fall back to ``.path`` placeholder
+    entries. Filename collisions after ``secure_filename`` are
+    disambiguated with a conv_id-hash suffix (deterministic), so
+    distinct conversations can never silently overwrite each other.
+    """
+    from mistral_ocr_app_spark.functions.markdown import secure_filename
+
+    os.makedirs(output_dir, exist_ok=True)
+    assembled = plan_export(spark, input_path, limit=limit, media_path=media_path)
+
+    n_convs = n_files = n_images = n_renamed = 0
+    used_names: set[str] = set()
     zf = None
     if fmt == "zip":
         zf = zipfile.ZipFile(
@@ -108,7 +157,14 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
     try:
         # stream, never collect: one conversation in driver memory at a time
         for row in assembled.toLocalIterator():
-            name = secure_filename(f"{row['conv_id']}")
+            name = secure_filename(f"{row['conv_id']}") or "conv"
+            if name in used_names:
+                digest = hashlib.sha256(row["conv_id"].encode()).hexdigest()[:8]
+                name = f"{name}-{digest}"
+                n_renamed += 1
+                if name in used_names:  # full-hash collision: refuse to lose data
+                    raise ValueError(f"unresolvable filename collision: {name}")
+            used_names.add(name)
             md = conversation_markdown(row)
             meta = conversation_metadata(row)
             if fmt == "zip":
@@ -117,14 +173,26 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
                     f"{name}/metadata.json",
                     json.dumps(meta, indent=2, ensure_ascii=False),
                 )
+                payloads = {}
+                if media_path is not None and row["media_entries"] is not None:
+                    payloads = {
+                        e["path"]: e["content"]
+                        for e in row["media_entries"]
+                        if e["content"] is not None
+                    }
                 for img in meta["images"]:
-                    # images/figure_X.png entries (README.md:51): paths
-                    # only — payload export needs the media store, which
-                    # is a separate binary column pipeline (multimodal.py)
-                    zf.writestr(
-                        f"{name}/images/{img['id']}.png.path",
-                        img["path"],
-                    )
+                    content = payloads.get(img["path"])
+                    if content is not None:
+                        # real bytes, reference naming (README.md:51)
+                        zf.writestr(f"{name}/images/{img['id']}.png", bytes(content))
+                        n_images += 1
+                    else:
+                        # no media store / ref missing from it: path-only
+                        # placeholder, honest about the absent payload
+                        zf.writestr(
+                            f"{name}/images/{img['id']}.png.path",
+                            img["path"],
+                        )
                 n_files += 2 + len(meta["images"])
             elif fmt == "md":
                 with open(os.path.join(output_dir, f"{name}.md"), "w") as f:
@@ -140,8 +208,8 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
     finally:
         if zf is not None:
             zf.close()
-    return {"n_convs": n_convs, "n_files": n_files, "format": fmt,
-            "output": output_dir}
+    return {"n_convs": n_convs, "n_files": n_files, "n_images": n_images,
+            "n_renamed": n_renamed, "format": fmt, "output": output_dir}
 
 
 def main() -> int:
@@ -151,13 +219,16 @@ def main() -> int:
     ap.add_argument("--format", choices=["zip", "md", "html"], default="zip")
     ap.add_argument("--limit", type=int, default=None,
                     help="export only the first N conversations (by conv_id)")
+    ap.add_argument("--media", default=None,
+                    help="parquet media store (image_id, content) — when "
+                         "set, ZIP exports carry real image bytes")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("conversation_export").getOrCreate()
     stats = export(spark, args.input, args.output, fmt=args.format,
-                   limit=args.limit)
+                   limit=args.limit, media_path=args.media)
     print(json.dumps(stats))
     spark.stop()
     return 0
