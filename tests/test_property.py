@@ -74,3 +74,47 @@ span_block_st = st.fixed_dictionaries(
 def test_span_parse_engine_equals_golden(pages):
     payload = json.dumps({"pages": pages})
     assert parse_span_source(payload) == g.golden_spans(payload)
+
+
+# --- PNG codec roundtrip property (round 4: multi-channel) ------------
+
+png_image_st = st.integers(1, 12).flatmap(
+    lambda w: st.integers(1, 12).flatmap(
+        lambda h: st.sampled_from([1, 2, 3, 4]).flatmap(
+            lambda ch: st.tuples(
+                st.just(w), st.just(h), st.just(ch),
+                st.binary(min_size=w * h * ch, max_size=w * h * ch),
+                st.lists(st.integers(0, 4), min_size=h, max_size=h),
+            )
+        )
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(png_image_st)
+def test_png_roundtrip_any_channels_any_filters(img):
+    """encode→decode is the identity for every (geometry, channel
+    count, per-row filter choice) — the filters are byte-wise with a
+    bpp offset, so this property catches any off-by-bpp error."""
+    from mistral_ocr_app_spark.functions.png import decode_png, encode_png
+
+    w, h, ch, pixels, filters = img
+    data = encode_png(w, h, pixels, lambda y: filters[y], channels=ch)
+    assert decode_png(data) == (w, h, ch, pixels)
+
+
+@settings(max_examples=200, deadline=None)
+@given(png_image_st, st.integers(1, 10))
+def test_resize_nearest_samples_exact_pixels(img, max_side):
+    """Every thumbnail pixel is an exact source sample (all channels of
+    the sampled pixel copied together, none invented)."""
+    from mistral_ocr_app_spark.functions.png import resize_nearest
+
+    w, h, ch, pixels, _ = img
+    tw, th, tpx = resize_nearest(w, h, pixels, max_side, channels=ch)
+    assert len(tpx) == tw * th * ch
+    for j in range(th):
+        for i in range(tw):
+            src = ((j * h) // th * w + (i * w) // tw) * ch
+            assert tpx[(j * tw + i) * ch : (j * tw + i + 1) * ch] == pixels[src : src + ch]
