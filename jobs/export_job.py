@@ -38,6 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the /image/ paths the extractor rewrites refs to (markdown.py X3/X5)
 _IMG_REF = re.compile(r"!\[[^\]]*\]\((/image/[^)\s]+)\)")
 
+# payload formats we name by their sniffed extension; anything else
+# (unknown/empty/riff container oddities) exports as .bin, never a
+# misleading image extension
+_KNOWN_EXTS = {"png", "jpeg", "gif", "webp", "bmp", "tiff", "svg", "wav", "mp4"}
+
 HTML_TEMPLATE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>body{{font-family:sans-serif;max-width:60em;margin:2em auto}}
@@ -102,8 +107,12 @@ def _attach_media(assembled, media):
             )
         ).alias("path"),
     )
+    # a conversation citing the same image k times must ship its bytes
+    # through the join/shuffle/collect_list ONCE, not k times — the
+    # driver resolves each figure ref from the per-conv payload dict
     per_conv = (
-        refs.withColumn("image_id", F.regexp_replace("path", "^/image/", ""))
+        refs.dropDuplicates(["conv_id", "path"])
+        .withColumn("image_id", F.regexp_replace("path", "^/image/", ""))
         .join(media.select("image_id", "content"), "image_id", "left")
         .groupBy("conv_id")
         .agg(F.collect_list(F.struct("path", "content")).alias("media_entries"))
@@ -135,14 +144,18 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
     """transcripts parquet → export bundle(s). Returns stats.
 
     With ``media_path`` (parquet of (image_id, content)) the ZIP gets
-    REAL image bytes as ``images/figure_X.png`` — the reference ships
-    actual files in its archive (README.md:49-53, app.py:585-589);
+    REAL image bytes as ``images/figure_X.<fmt>`` with the extension
+    sniffed from the payload — the reference ships actual files under
+    their real format in its archive (README.md:49-53, app.py:585-589);
     refs absent from the store fall back to ``.path`` placeholder
-    entries. Filename collisions after ``secure_filename`` are
-    disambiguated with a conv_id-hash suffix (deterministic), so
-    distinct conversations can never silently overwrite each other.
+    entries. Naming is a pure function of conv_id: any conv_id that
+    ``secure_filename`` changes gets a conv_id-hash suffix
+    unconditionally, so names are stable across re-runs regardless of
+    row arrival order and distinct conversations can never silently
+    overwrite each other.
     """
     from mistral_ocr_app_spark.functions.markdown import secure_filename
+    from mistral_ocr_app_spark.operators.multimodal import sniff_format
 
     os.makedirs(output_dir, exist_ok=True)
     assembled = plan_export(spark, input_path, limit=limit, media_path=media_path)
@@ -158,12 +171,18 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
         # stream, never collect: one conversation in driver memory at a time
         for row in assembled.toLocalIterator():
             name = secure_filename(f"{row['conv_id']}") or "conv"
-            if name in used_names:
+            if name != row["conv_id"]:
+                # secure_filename was lossy: ALWAYS suffix with the
+                # conv_id hash, not only on observed collision — two
+                # lossy ids can only collide through the sanitizer, and
+                # unconditional suffixing makes the final name a pure
+                # function of conv_id (order-independent, so resumed /
+                # re-run exports produce identical file sets)
                 digest = hashlib.sha256(row["conv_id"].encode()).hexdigest()[:8]
                 name = f"{name}-{digest}"
                 n_renamed += 1
-                if name in used_names:  # full-hash collision: refuse to lose data
-                    raise ValueError(f"unresolvable filename collision: {name}")
+            if name in used_names:  # full-hash collision: refuse to lose data
+                raise ValueError(f"unresolvable filename collision: {name}")
             used_names.add(name)
             md = conversation_markdown(row)
             meta = conversation_metadata(row)
@@ -183,8 +202,16 @@ def export(spark, input_path: str, output_dir: str, fmt: str = "zip",
                 for img in meta["images"]:
                     content = payloads.get(img["path"])
                     if content is not None:
-                        # real bytes, reference naming (README.md:51)
-                        zf.writestr(f"{name}/images/{img['id']}.png", bytes(content))
+                        # real bytes, reference naming (README.md:51);
+                        # extension follows the sniffed payload format —
+                        # the reference preserves the actual format in
+                        # its archive names (app.py page_{i}_img_{id}.
+                        # {format}), so a JPEG in the media store must
+                        # not export under a misleading .png name
+                        payload = bytes(content)
+                        fmt_sniffed = sniff_format(payload)
+                        ext = fmt_sniffed if fmt_sniffed in _KNOWN_EXTS else "bin"
+                        zf.writestr(f"{name}/images/{img['id']}.{ext}", payload)
                         n_images += 1
                     else:
                         # no media store / ref missing from it: path-only

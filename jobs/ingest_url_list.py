@@ -152,13 +152,20 @@ def _fetch_one(url: str, max_bytes: int, timeout: int):
 
 DEFAULT_FLUSH_EVERY = 1000  # URLs per parquet flush
 
+# retained error records are capped so the stats dict stays O(1) in the
+# manifest size even when most of a 10^6-URL manifest fails; n_rejected
+# stays exact, and the overflow is streamed to <output>_errors.jsonl
+DEFAULT_MAX_ERRORS = 1000
+
 
 def ingest(spark, manifest_path: str, output_path: str,
            max_bytes: int = DEFAULT_MAX_BYTES, timeout: int = DEFAULT_TIMEOUT,
            workers: int = DEFAULT_WORKERS,
-           flush_every: int = DEFAULT_FLUSH_EVERY) -> dict:
+           flush_every: int = DEFAULT_FLUSH_EVERY,
+           max_errors: int = DEFAULT_MAX_ERRORS) -> dict:
     """Manifest (one URL per line; '#' comments) → transcripts parquet.
-    Returns {n_urls, n_fetched, n_rejected, n_turns, errors}.
+    Returns {n_urls, n_fetched, n_rejected, n_turns, errors,
+    n_errors_truncated}.
 
     Fetches run on a bounded driver-side thread pool (``workers``): the
     no-executor-network invariant holds — executors never open sockets —
@@ -176,7 +183,11 @@ def ingest(spark, manifest_path: str, output_path: str,
     URLs (append after the first batch), so driver memory is bounded by
     the flush window, not the manifest size — a 10⁶-URL manifest streams
     through in constant space. Output data is identical to a single
-    flush (only parquet part-file boundaries differ; tested).
+    flush (only parquet part-file boundaries differ; tested). The same
+    bound holds for failures: only the first ``max_errors`` error
+    records are retained in the returned stats; the rest stream to
+    ``<output>_errors.jsonl`` so a mostly-failing giant manifest cannot
+    grow driver memory (``n_rejected`` stays exact either way).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -187,6 +198,18 @@ def ingest(spark, manifest_path: str, output_path: str,
 
     rows, errors, n_rejected, n_turns = [], [], 0, 0
     wrote_any = False
+    err_sidecar = None
+
+    def record_error(url: str, err: str) -> None:
+        nonlocal err_sidecar, n_rejected
+        n_rejected += 1
+        rec = {"url": url, "err": err}
+        if len(errors) < max_errors:
+            errors.append(rec)
+            return
+        if err_sidecar is None:
+            err_sidecar = open(f"{output_path.rstrip('/')}_errors.jsonl", "w")
+        err_sidecar.write(json.dumps(rec) + "\n")
 
     def flush(force: bool = False) -> None:
         nonlocal rows, wrote_any, n_turns
@@ -204,23 +227,24 @@ def ingest(spark, manifest_path: str, output_path: str,
             fetched = pool.map(lambda u: _fetch_one(u, max_bytes, timeout), urls)
             for i, (url, (payload, err)) in enumerate(zip(urls, fetched), 1):
                 if err is not None:
-                    n_rejected += 1
-                    errors.append({"url": url, "err": err})
+                    record_error(url, err)
                 else:
                     try:
                         rows.extend(parse_payload(url, payload))
                     except Exception as e:
-                        n_rejected += 1
-                        errors.append({"url": url, "err": f"parse: {str(e)[:180]}"})
+                        record_error(url, f"parse: {str(e)[:180]}")
                 if flush_every and i % flush_every == 0:
                     flush()
     flush(force=True)  # final partial batch (or an empty table for an empty run)
+    if err_sidecar is not None:
+        err_sidecar.close()
     return {
         "n_urls": len(urls),
         "n_fetched": len(urls) - n_rejected,
         "n_rejected": n_rejected,
         "n_turns": n_turns,
         "errors": errors,
+        "n_errors_truncated": max(0, n_rejected - len(errors)),
     }
 
 
@@ -236,6 +260,9 @@ def main() -> int:
     ap.add_argument("--flush-every", type=int, default=DEFAULT_FLUSH_EVERY,
                     help="write parquet every N URLs so driver memory "
                          "bounds on N, not manifest size")
+    ap.add_argument("--max-errors", type=int, default=DEFAULT_MAX_ERRORS,
+                    help="error records kept in stats; overflow streams "
+                         "to <output>_errors.jsonl (n_rejected stays exact)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -243,7 +270,8 @@ def main() -> int:
     spark = SparkSession.builder.appName("transcript_ingestion").getOrCreate()
     stats = ingest(spark, args.manifest, args.output,
                    max_bytes=args.max_bytes, timeout=args.timeout,
-                   workers=args.workers, flush_every=args.flush_every)
+                   workers=args.workers, flush_every=args.flush_every,
+                   max_errors=args.max_errors)
     print(json.dumps(stats))
     spark.stop()
     return 0

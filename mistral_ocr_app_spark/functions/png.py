@@ -364,6 +364,44 @@ def build_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def parse_wav_samples(data: bytes) -> tuple[int, int, int] | None:
+    """16-bit mono/stereo PCM sample stats → (min, max, sum of squares)
+    over all int16 little-endian samples in the data chunk, or ``None``
+    when the container holds no complete sample. REAL sample decode —
+    pure ``struct`` like the header parse, closing the "audio decode is
+    a stub" gap for PCM WAV (sum-of-squares instead of rms so the stat
+    is exact-integer and value-oracle-able; rms = sqrt(ssq/n) for
+    callers that want it). Raises ``WavError`` for non-PCM/non-16-bit
+    shapes (compressed WAV genuinely needs a codec library)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE container")
+    pos = 12
+    fmt_tag = bits = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt " and length >= 16:
+            if pos + 24 > len(data):
+                raise WavError("truncated fmt chunk")
+            fmt_tag, _, _, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            end = pos + 8 + min(length, len(data) - pos - 8)
+            payload = data[pos + 8 : end]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt_tag is None or payload is None:
+        raise WavError("missing fmt or data chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise WavError(f"unsupported WAV shape (fmt={fmt_tag}, bits={bits})")
+    n = len(payload) // 2
+    if n == 0:
+        return None
+    samples = struct.unpack(f"<{n}h", payload[: 2 * n])
+    return min(samples), max(samples), sum(s * s for s in samples)
+
+
 def parse_wav_header(data: bytes) -> tuple[int, int, int]:
     """RIFF/WAVE chunk walk → (sample_rate, block_align, n_frames) where
     ``n_frames = data_chunk_bytes // block_align``. Real header parse —

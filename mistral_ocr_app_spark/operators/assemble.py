@@ -92,23 +92,45 @@ def assemble_conversations_cli(extracted: DataFrame) -> DataFrame:
     )
 
 
-def assemble_conversations(extracted: DataFrame) -> DataFrame:
-    """Both joiner variants in ONE aggregation (single shuffle)."""
-    turns = _ordered_turns(extracted)
-    return extracted.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_turns"),
+def _derive_combined(agged: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, _turns) → both combined strings, dropping the
+    intermediate sorted array. A plain projection over the aggregate."""
+    return agged.select(
+        "conv_id",
+        "n_turns",
         F.array_join(
-            F.transform(
-                turns,
-                _app_header,
-            ),
+            F.transform(F.col("_turns"), _app_header),
             PAGE_JOINER_APP,
         ).alias("combined_app"),
         F.array_join(
-            F.transform(turns, lambda x: F.coalesce(x["extracted_text"], F.lit(""))),
+            F.transform(
+                F.col("_turns"),
+                lambda x: F.coalesce(x["extracted_text"], F.lit("")),
+            ),
             PAGE_JOINER_CLI,
         ).alias("combined_cli"),
     )
+
+
+def assemble_conversations(extracted: DataFrame) -> DataFrame:
+    """Both joiner variants from ONE aggregation and ONE sort (still a
+    single shuffle).
+
+    The aggregate emits only (n_turns, sorted turns array); the two
+    combined strings are derived in a separate post-aggregation
+    projection (``_derive_combined``). Inlining both ``array_join``
+    expressions into the agg — the pre-round-5 shape — evaluated the
+    O(n log n) ``array_sort`` once PER OUTPUT COLUMN per group: the
+    hash-aggregate result projection gets no codegen subexpression
+    elimination for it. Catalyst keeps the projection separate rather
+    than collapsing it back (the non-cheap ``_turns`` reference is used
+    twice, so ``CollapseProject`` refuses), so the sort now runs exactly
+    once per conversation."""
+    agged = extracted.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        _ordered_turns(extracted).alias("_turns"),
+    )
+    return _derive_combined(agged)
 
 
 def assemble_conversations_chunked(
@@ -127,32 +149,49 @@ def assemble_conversations_chunked(
     independently; intra- and inter-chunk joiners are the same string,
     making the concatenation associative."""
     chunk = F.floor(F.col("turn_idx") / chunk_size).cast("long")
-    turns = _ordered_turns(extracted)
+    # same single-sort split as assemble_conversations, at both levels:
+    # each aggregate emits one sorted array; the per-variant strings are
+    # derived in a following projection so the sort runs once per group
     per_chunk = (
         extracted.withColumn("chunk", chunk)
         .groupBy("conv_id", "chunk")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_turns"),
+            _ordered_turns(extracted).alias("_turns"),
+        )
+        .select(
+            "conv_id",
+            "chunk",
+            "n_turns",
             F.array_join(
-                F.transform(turns, _app_header),
+                F.transform(F.col("_turns"), _app_header),
                 PAGE_JOINER_APP,
             ).alias("app_chunk"),
             F.array_join(
-                F.transform(turns, lambda x: F.coalesce(x["extracted_text"], F.lit(""))),
+                F.transform(
+                    F.col("_turns"),
+                    lambda x: F.coalesce(x["extracted_text"], F.lit("")),
+                ),
                 PAGE_JOINER_CLI,
             ).alias("cli_chunk"),
         )
     )
-    chunks = F.array_sort(
-        F.collect_list(F.struct(F.col("chunk"), F.col("app_chunk"), F.col("cli_chunk")))
-    )
-    return per_chunk.groupBy("conv_id").agg(
+    agged = per_chunk.groupBy("conv_id").agg(
         F.sum("n_turns").cast("int").alias("n_turns"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("chunk"), F.col("app_chunk"), F.col("cli_chunk"))
+            )
+        ).alias("_chunks"),
+    )
+    return agged.select(
+        "conv_id",
+        "n_turns",
         F.array_join(
-            F.transform(chunks, lambda c: c["app_chunk"]), PAGE_JOINER_APP
+            F.transform(F.col("_chunks"), lambda c: c["app_chunk"]), PAGE_JOINER_APP
         ).alias("combined_app"),
         F.array_join(
-            F.transform(chunks, lambda c: c["cli_chunk"]), PAGE_JOINER_CLI
+            F.transform(F.col("_chunks"), lambda c: c["cli_chunk"]), PAGE_JOINER_CLI
         ).alias("combined_cli"),
     )
 

@@ -805,7 +805,17 @@ _SQL_HYPER_BITS = """
              substr(qbucket, 1, i - 1) ||
              (CASE substr(qbucket, i, 1) WHEN '0' THEN '1' ELSE '0' END) ||
              substr(qbucket, i + 1) AS probe
-      FROM q CROSS JOIN generate_series(1, {N_HYPERPLANES}) g(i)),
+      FROM q CROSS JOIN generate_series(1, {N_HYPERPLANES}) g(i)
+      UNION ALL
+      SELECT qv,
+             substr(qbucket, 1, i - 1) ||
+             (CASE substr(qbucket, i, 1) WHEN '0' THEN '1' ELSE '0' END) ||
+             substr(qbucket, i + 1, j - i - 1) ||
+             (CASE substr(qbucket, j, 1) WHEN '0' THEN '1' ELSE '0' END) ||
+             substr(qbucket, j + 1) AS probe
+      FROM q CROSS JOIN generate_series(1, {N_HYPERPLANES}) gi(i)
+             CROSS JOIN generate_series(1, {N_HYPERPLANES}) gj(j)
+      WHERE j > i),
     cand AS (
       SELECT s.vec_id, s.label,
              CAST(unnest(s.embedding) AS DOUBLE) AS x,
@@ -819,13 +829,14 @@ _SQL_HYPER_BITS = """
     """,
     "hyperplane-LSH ANN scale path (complement of e3's IVF): 8 sign bits "
     "from deterministic pseudo-random hyperplanes bucket the vectors; "
-    "MULTI-PROBE search of the query's bucket plus the 8 buckets within "
-    "Hamming distance 1 (9 of 256 — measured recall@10 0.1 → 0.4 vs "
-    "single-probe on this corpus, scanning ~3% of candidates; probe "
-    "count stays O(bits) at scale; wider radii gave 0.5/0.6 at h≤2/3 — "
-    "diminishing, e3's IVF at 0.9 is the high-recall path). No training "
-    "step, no weight matrix to ship — hyperplanes are regenerated from "
-    "the hash family",
+    "MULTI-PROBE search of the query's bucket plus every bucket within "
+    "Hamming distance 2 (1+8+28 = 37 of 256 buckets — measured "
+    "recall@10 on this corpus: 0.1 single-probe → 0.4 at h≤1 → 0.5 at "
+    "h≤2, scanning ~14% of buckets; h≤3 gave 0.6 for 93/256 — "
+    "diminishing, e3's IVF at 0.9 is the high-recall path). Probe "
+    "count stays O(bits²) — independent of corpus size, so the probe "
+    "relation broadcasts at any scale. No training step, no weight "
+    "matrix to ship — hyperplanes are regenerated from the hash family",
 )
 def e4_hyperplane_lsh_ann(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -842,11 +853,23 @@ def e4_hyperplane_lsh_ann(spark, sf_dir):
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
     )
 
-    def _flip(b, i):  # flip 1-based char i of the bit string
+    def _flipchar(b, i):  # flipped 1-based char i of the bit string
+        return F.when(F.substring(b, i, 1) == "0", F.lit("1")).otherwise(F.lit("0"))
+
+    def _flip(b, i):  # Hamming-1 neighbor: flip position i
         return F.concat(
             F.substring(b, 1, i - 1),
-            F.when(F.substring(b, i, 1) == "0", "1").otherwise("0"),
+            _flipchar(b, i),
             F.substring(b, i + 1, N_HYPERPLANES),
+        )
+
+    def _flip2(b, i, j):  # Hamming-2 neighbor: flip positions i < j
+        return F.concat(
+            F.substring(b, 1, i - 1),
+            _flipchar(b, i),
+            F.substring(b, i + 1, j - i - 1),
+            _flipchar(b, j),
+            F.substring(b, j + 1, N_HYPERPLANES),
         )
 
     probes = q.select(
@@ -855,6 +878,11 @@ def e4_hyperplane_lsh_ann(spark, sf_dir):
             F.array(
                 F.col("qbucket"),
                 *[_flip(F.col("qbucket"), i) for i in range(1, N_HYPERPLANES + 1)],
+                *[
+                    _flip2(F.col("qbucket"), i, j)
+                    for i in range(1, N_HYPERPLANES + 1)
+                    for j in range(i + 1, N_HYPERPLANES + 1)
+                ],
             )
         ).alias("probe"),
     )

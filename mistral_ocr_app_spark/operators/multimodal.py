@@ -14,12 +14,16 @@ What is REAL vs stubbed (container has no PIL/ffmpeg):
   width/height/pixels are genuinely decoded, and ``resize_images``
   performs a real nearest-neighbor downsample and re-encodes a real
   PNG thumbnail (grayscale or RGB, matching the source).
-* JPEG: **real header parse** — marker walk to the SOF frame header
-  gives true width/height for the reference's other image format
-  (app.py:46 accepts jpg/jpeg); pixel decode honestly stays
-  ``decoded = false`` (entropy decode needs a codec library).
-* WAV: **real header parse** — RIFF/WAVE chunk walk gives the PCM
-  frame count from the container's fmt/data chunks.
+* JPEG: **fully real for baseline** — ``functions/jpeg.py`` is a full
+  baseline-sequential Huffman decoder (DQT/DHT/SOF0/DRI, interleaved
+  and single-component scans, 1-2 sampling factors), so jpg/jpeg
+  payloads (app.py:46) get real width/height/pixels like PNG.
+  Progressive/arithmetic shapes fall back to the SOF header parse
+  with ``decoded = false`` (the honest path outside baseline).
+* WAV: **real header AND sample decode** — RIFF/WAVE chunk walk gives
+  the PCM frame count, and 16-bit PCM samples are struct-decoded for
+  exact min/max/sum-of-squares stats (``sample_min``/``sample_max``/
+  ``sample_sumsq``); compressed WAV raises → stats stay NULL.
 * MP4: the synthetic ftyp container's big-endian frame count is read
   by a real header parse; actual video *sample* decode stays an honest
   deterministic stub (needs ffmpeg).
@@ -42,15 +46,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
 from ..functions.png import (
     PngError,
     WavError,
-    build_jpeg,
     build_wav,
     decode_png,
     encode_png,
     parse_jpeg_dims,
     parse_wav_header,
+    parse_wav_samples,
     resize_nearest,
 )
 
@@ -80,6 +85,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("pixel_sum", T.LongType()),  # NULL unless pixels decoded
+        T.StructField("sample_min", T.IntegerType()),  # 16-bit PCM only
+        T.StructField("sample_max", T.IntegerType()),
+        T.StructField("sample_sumsq", T.LongType()),
         T.StructField("content_digest", T.StringType()),
         T.StructField("decoded", T.BooleanType()),
     ]
@@ -134,11 +142,15 @@ def decode_media(content: bytes, kind: str) -> dict:
     * png → FULL pixel decode (``functions/png.py``, gray/RGB/RGBA/
       palette): real width/height and ``pixel_sum`` over the decoded
       pixel bytes; ``decoded = True``.
-    * jpeg → real SOF header parse for width/height; ``decoded =
-      False`` (no entropy decode in this container — PIL takes over at
-      deploy time).
-    * wav → real RIFF header parse: ``n_frames`` = data bytes /
-      block_align from the container.
+    * jpeg → FULL baseline pixel decode (``functions/jpeg.py``:
+      Huffman entropy decode + dequant + IDCT + chroma upsample), same
+      real ``pixel_sum`` as PNG; progressive/arithmetic/truncated
+      streams fall back to the SOF header parse with ``decoded =
+      False`` (honest outside-baseline path).
+    * wav → real RIFF header parse (``n_frames`` = data bytes /
+      block_align) plus real 16-bit PCM sample decode:
+      ``sample_min``/``sample_max``/``sample_sumsq`` are exact stats
+      over the int16 samples (NULL for compressed/empty payloads).
     * mp4 → real ftyp header parse for ``n_frames``.
     * anything else → deterministic digest-derived fallback with
       ``decoded = False`` (the honest stub for codecs this container
@@ -147,6 +159,7 @@ def decode_media(content: bytes, kind: str) -> dict:
     digest = hashlib.sha256(content).hexdigest()
     fmt = sniff_format(content)
     width = height = pixel_sum = None
+    sample_min = sample_max = sample_sumsq = None
     n_frames = 1
     decoded = False
     if fmt == "png":
@@ -161,14 +174,25 @@ def decode_media(content: bytes, kind: str) -> dict:
             if dims:
                 width, height = dims
     elif fmt == "jpeg":
-        dims = parse_jpeg_dims(content)
-        if dims:
-            width, height = dims
+        try:
+            w, h, _ch, pixels = decode_jpeg(content)
+            width, height, pixel_sum = w, h, sum(pixels)
+            decoded = True
+        except JpegError:
+            dims = parse_jpeg_dims(content)
+            if dims:
+                width, height = dims
     elif fmt == "wav":
         try:
             _, _, n_frames = parse_wav_header(content)
         except WavError:
             n_frames = 1
+        try:
+            stats = parse_wav_samples(content)
+            if stats is not None:
+                sample_min, sample_max, sample_sumsq = stats
+        except WavError:
+            pass  # non-PCM/non-16-bit: stats stay NULL
     elif fmt == "mp4":
         parsed = parse_mp4_frame_count(content)
         n_frames = parsed if parsed is not None else 1
@@ -182,6 +206,9 @@ def decode_media(content: bytes, kind: str) -> dict:
         "height": height,
         "n_frames": n_frames,
         "pixel_sum": pixel_sum,
+        "sample_min": sample_min,
+        "sample_max": sample_max,
+        "sample_sumsq": sample_sumsq,
         "content_digest": digest,
         "decoded": decoded,
     }
@@ -197,14 +224,18 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             d = decode_media(content, kind)
             rows.append(
                 (int(mid), kind, d["format"], d["width"], d["height"],
-                 d["n_frames"], d["pixel_sum"], d["content_digest"], d["decoded"])
+                 d["n_frames"], d["pixel_sum"], d["sample_min"],
+                 d["sample_max"], d["sample_sumsq"], d["content_digest"],
+                 d["decoded"])
             )
         yield pd.DataFrame(
             rows,
             columns=["media_id", "kind", "format", "width", "height",
-                     "n_frames", "pixel_sum", "content_digest", "decoded"],
+                     "n_frames", "pixel_sum", "sample_min", "sample_max",
+                     "sample_sumsq", "content_digest", "decoded"],
         ).astype({"width": "Int32", "height": "Int32", "n_frames": "int32",
-                  "pixel_sum": "Int64"})
+                  "pixel_sum": "Int64", "sample_min": "Int32",
+                  "sample_max": "Int32", "sample_sumsq": "Int64"})
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -234,14 +265,19 @@ def _resize(batches: Iterator[pd.DataFrame], max_side: int = 256) -> Iterator[pd
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
             try:
-                w, h, ch, pixels = decode_png(content)
+                try:
+                    w, h, ch, pixels = decode_png(content)
+                except PngError:
+                    # baseline JPEG decodes for real too; raises
+                    # JpegError for non-JPEG / outside-baseline
+                    w, h, ch, pixels = decode_jpeg(content)
                 tw, th, tpx = resize_nearest(w, h, pixels, max_side, channels=ch)
                 # REAL thumbnail: re-encoded as a valid PNG
                 thumb = encode_png(tw, th, tpx, channels=ch)
-            except PngError:
-                # non-PNG (no pixel codec in container): deterministic
-                # stub thumb; dims from the real header parse when the
-                # format has one (jpeg), digest-derived otherwise
+            except (PngError, JpegError):
+                # no codec for this payload: deterministic stub thumb;
+                # dims from the real header parse when the format has
+                # one (progressive jpeg), digest-derived otherwise
                 d = decode_media(content, "image")
                 digest = d["content_digest"]
                 if d["width"] is not None:
@@ -356,12 +392,16 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 #         across rows AND docs)
 #     d%9==3: REAL truecolor RGB PNG, pixel(x,y,c) = (x + 3y + 5c + d)
 #         % 256, same filter cycle — exercises the bpp=3 unfilter path
-#     d%9==6: JPEG with a real SOF0 frame header carrying the same dims
-#         (pixel payload opaque — models the real-world JPEGs this
-#         container can header-parse but not decode)
+#     d%9==6: REAL baseline grayscale JPEG (functions/jpeg.py, all-ones
+#         quant), solid color v = (d*7+13) % 256 — a constant image is
+#         DC-only so encode→decode is bit-exact, which keeps
+#         pixel_sum = w*h*v SQL-predictable despite JPEG being lossy
+#         in general (round-trip exactness pinned in test_jpeg.py)
 #   video (doc_id%3==1): synthetic ftyp container, frame count 24+(d%7)*16
-#   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), data = utf-8 text
-#       bytes → n_frames = octet_length(text) // 2 via real header parse
+#   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), n = strlen(text)//2
+#       samples of sample(i) = ((i*31 + d) % 201) - 100 → n_frames = n
+#       via real header parse, and min/max/sum-of-squares stats are
+#       exact ints a generate_series oracle predicts
 _IMG_W = "CAST(16 + (doc_id % 5) * 4 AS INT)"
 _IMG_H = "CAST(12 + (doc_id % 7) * 4 AS INT)"
 _MP4_FRAMES_SQL = "(24 + (doc_id % 7) * 16)"
@@ -397,7 +437,8 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 kind = "image"
                 w, h = _img_dims(d)
                 if d % 9 == 6:
-                    content = build_jpeg(w, h, tb)
+                    v = (d * 7 + 13) % 256
+                    content = encode_jpeg(w, h, bytes([v]) * (w * h))
                 elif d % 9 == 3:
                     content = encode_png(
                         w, h, _img_pixels_rgb(d, w, h),
@@ -413,7 +454,11 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 content = _MP4_PREFIX + struct.pack(">I", frames) + tb
             else:
                 kind = "audio"
-                content = build_wav(tb)
+                n = len(tb) // 2
+                pcm = struct.pack(
+                    f"<{n}h", *(((i * 31 + d) % 201) - 100 for i in range(n))
+                )
+                content = build_wav(pcm)
             rows.append(
                 (d, kind, content,
                  {"mime": "application/octet-stream", "n_bytes": len(tb)})
@@ -446,6 +491,15 @@ from .registry import load, register  # noqa: E402
       WHERE m.doc_id % 3 = 0 AND m.doc_id % 9 <> 6
         AND x.i < 16 + (m.doc_id % 5) * 4 AND y.i < 12 + (m.doc_id % 7) * 4
         AND c.i < CASE WHEN m.doc_id % 9 = 3 THEN 3 ELSE 1 END
+      GROUP BY m.doc_id),
+    au AS (
+      SELECT m.doc_id,
+             min(((g.i * 31 + m.doc_id) % 201) - 100) AS smin,
+             max(((g.i * 31 + m.doc_id) % 201) - 100) AS smax,
+             sum((((g.i * 31 + m.doc_id) % 201) - 100)
+                 * (((g.i * 31 + m.doc_id) % 201) - 100)) AS ssq
+      FROM m, generate_series(0, 511) g(i)
+      WHERE m.doc_id % 3 = 2 AND g.i < nb // 2
       GROUP BY m.doc_id)
     SELECT m.doc_id AS media_id,
       CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
@@ -456,25 +510,34 @@ from .registry import load, register  # noqa: E402
       CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT) END AS height,
       CAST(CASE m.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 24 + (m.doc_id % 7) * 16
            ELSE nb // 2 END AS INT) AS n_frames,
-      CAST(px.ps AS BIGINT) AS pixel_sum,
-      (m.doc_id % 3 = 0 AND m.doc_id % 9 <> 6) AS decoded
+      CAST(CASE WHEN m.doc_id % 9 = 6 THEN
+             (16 + (m.doc_id % 5) * 4) * (12 + (m.doc_id % 7) * 4)
+               * ((m.doc_id * 7 + 13) % 256)
+           ELSE px.ps END AS BIGINT) AS pixel_sum,
+      CAST(au.smin AS INT) AS sample_min,
+      CAST(au.smax AS INT) AS sample_max,
+      CAST(au.ssq AS BIGINT) AS sample_sumsq,
+      (m.doc_id % 3 = 0) AS decoded
     FROM m LEFT JOIN px ON m.doc_id = px.doc_id
+           LEFT JOIN au ON m.doc_id = au.doc_id
     """,
     "multimodal: binary media column → decode/feature-extract via "
     "mapInPandas. FULL value oracle: PNG pixels genuinely decoded "
     "(stdlib zlib inflate + unfilter, functions/png.py — grayscale AND "
-    "truecolor RGB rows) so width/height/pixel_sum are real decode "
-    "outputs the SQL predicts arithmetically; JPEG rows get real dims "
-    "from a SOF frame-header parse (decoded=false — no entropy codec "
-    "in container); WAV frame counts from a real RIFF header parse; "
-    "mp4 frame counts from the container header. Only video/audio "
-    "SAMPLE decode remains stubbed (ffmpeg absent).",
+    "truecolor RGB rows) AND baseline JPEG pixels genuinely decoded "
+    "(functions/jpeg.py Huffman + IDCT; constant-color fixture rows "
+    "are DC-only so the lossy codec round-trips bit-exactly and the "
+    "SQL predicts pixel_sum = w*h*v); WAV rows get real header frame "
+    "counts plus exact 16-bit PCM sample stats (min/max/sum-of-"
+    "squares) the series oracle predicts; mp4 frame counts from the "
+    "container header. Only video SAMPLE decode remains stubbed "
+    "(ffmpeg absent).",
 )
 def m1_media_features(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))
     return extract_media_features(media).select(
         "media_id", "kind", "format", "width", "height", "n_frames",
-        "pixel_sum", "decoded",
+        "pixel_sum", "sample_min", "sample_max", "sample_sumsq", "decoded",
     )
 
 
@@ -482,7 +545,7 @@ def m1_media_features(spark, sf_dir):
     "m3_thumbnail_pixels",
     f"""
     WITH m AS (SELECT doc_id, 16 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 7) * 4 AS h
-               FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 6),
+               FROM documents WHERE doc_id % 3 = 0),
     t AS (SELECT doc_id, w, h,
             CASE WHEN greatest(w, h) <= 16 THEN w
                  ELSE greatest(1, w * 16 // greatest(w, h)) END AS tw,
@@ -494,22 +557,24 @@ def m1_media_features(spark, sf_dir):
                 AS BIGINT) AS thumb_pixel_sum
     FROM t, generate_series(0, 31) x(i), generate_series(0, 35) y(i),
          generate_series(0, 2) c(i)
-    WHERE x.i < tw AND y.i < th
+    WHERE t.doc_id % 9 <> 6 AND x.i < tw AND y.i < th
       AND c.i < CASE WHEN t.doc_id % 9 = 3 THEN 3 ELSE 1 END
     GROUP BY t.doc_id, tw, th
     UNION ALL
-    SELECT doc_id AS media_id, CAST(NULL AS INT) AS thumb_w,
-           CAST(NULL AS INT) AS thumb_h, CAST(NULL AS BIGINT) AS thumb_pixel_sum
-    FROM documents WHERE doc_id % 9 = 6
+    SELECT doc_id AS media_id, CAST(tw AS INT) AS thumb_w,
+           CAST(th AS INT) AS thumb_h,
+           CAST(tw * th * ((doc_id * 7 + 13) % 256) AS BIGINT) AS thumb_pixel_sum
+    FROM t WHERE doc_id % 9 = 6
     """,
     "multimodal: REAL image resize round trip — decode PNG (grayscale "
-    "AND RGB) → nearest-neighbor downsample (exact integer sampling, "
-    "all channels of the sampled pixel) → re-encode PNG → decode the "
-    "thumbnail again for dims + pixel_sum. The SQL oracle predicts "
-    "every sampled pixel/channel, so a wrong filter/unfilter/sampling "
-    "anywhere in the two-stage Arrow pipeline hash-mismatches. JPEG "
-    "rows exercise the documented stub-thumb path: stats are NULL "
-    "(thumbnail_pixel_stats tolerates non-PNG thumbs).",
+    "AND RGB) or baseline JPEG → nearest-neighbor downsample (exact "
+    "integer sampling, all channels of the sampled pixel) → re-encode "
+    "PNG → decode the thumbnail again for dims + pixel_sum. The SQL "
+    "oracle predicts every sampled pixel/channel (JPEG fixture rows "
+    "are constant-color, so their decode is bit-exact and the thumb "
+    "sum is tw*th*v in closed form), so a wrong filter/unfilter/"
+    "sampling/Huffman/IDCT step anywhere in the two-stage Arrow "
+    "pipeline hash-mismatches.",
 )
 def m3_thumbnail_pixels(spark, sf_dir):
     media = media_from_documents(load(spark, sf_dir, "documents"))

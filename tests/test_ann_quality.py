@@ -2,11 +2,13 @@
 LSH) must actually FIND neighbors, not just run — recall measured
 against the e1 brute-force ground truth on the same corpus.
 
-Measured on the driver testdata (sf0.001 and sf0.01 agree):
-IVF recall@20 = 0.9; multi-probe LSH recall@10 = 0.4 (up from 0.1
-single-probe; the synthetic embeddings have weak cosine structure, so
-LSH is the cheap-probe demo and IVF the high-recall path). Floors are
-set below measurement to allow corpus regeneration jitter.
+Measured on the driver testdata: IVF recall@20 = 0.9; multi-probe LSH
+recall@10 with the Hamming≤2 probe set = 0.5 at sf0.01 (the driver-
+gate corpus) and 0.4 on the 10×-smaller sf0.001 (0.1 single-probe,
+0.4 at h≤1 on both; the synthetic embeddings have weak cosine
+structure, so LSH is the cheap-probe demo and IVF the high-recall
+path). Floors are set at measurement; both scales are gated so a
+probe-set regression shows up regardless of corpus size.
 """
 
 from mistral_ocr_app_spark.operators import catalog
@@ -27,8 +29,11 @@ def test_ivf_recall_vs_brute_force(spark):
 
 
 def test_multiprobe_lsh_recall_vs_brute_force(spark):
-    brute = _ids(Q["e1_cosine_topk"](spark, SF_DIR))[:10]
-    lsh = _ids(Q["e4_hyperplane_lsh_ann"](spark, SF_DIR))
-    assert len(lsh) == 10  # multi-probe must fill the top-k
-    recall = len(set(brute) & set(lsh)) / 10
-    assert recall >= 0.3, f"multi-probe LSH recall@10 collapsed: {recall}"
+    for sf_dir, floor in [(SF_DIR, 0.4), ("/root/testdata/sf0.01", 0.5)]:
+        brute = _ids(Q["e1_cosine_topk"](spark, sf_dir))[:10]
+        lsh = _ids(Q["e4_hyperplane_lsh_ann"](spark, sf_dir))
+        assert len(lsh) == 10  # multi-probe must fill the top-k
+        recall = len(set(brute) & set(lsh)) / 10
+        assert recall >= floor, (
+            f"multi-probe LSH recall@10 collapsed at {sf_dir}: {recall}"
+        )

@@ -99,9 +99,56 @@ def test_export_zip_with_media_store_real_png_bytes(spark, tmp_path):
             assert placeholders
 
 
+def test_export_media_extension_follows_sniffed_format(spark, tmp_path):
+    """ADVICE r4: a JPEG payload in the media store must export as
+    images/figure_X.jpeg, not under a misleading .png name (the
+    reference preserves the actual format in its archive names,
+    app.py page_{i}_img_{id}.{format})."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_app_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    paths = _fixture(spark, tmp_path)
+    assembled = plan_export(spark, paths["transcripts"])
+    ref_paths = sorted(
+        r["p"]
+        for r in assembled.select(
+            F.explode(
+                F.regexp_extract_all(
+                    "combined_app",
+                    F.lit(r"!\[[^\]]*\]\((/image/[^)\s]+)\)"), 1,
+                )
+            ).alias("p")
+        ).collect()
+    )
+    assert ref_paths
+    jpg = encode_jpeg(8, 8, bytes([42]) * 64)
+    store = pd.DataFrame(
+        {"image_id": [p.removeprefix("/image/") for p in ref_paths],
+         "content": [jpg] * len(ref_paths)}
+    ).drop_duplicates("image_id")
+    media_pq = str(tmp_path / "media_jpg.parquet")
+    spark.createDataFrame(store).write.parquet(media_pq)
+
+    out = tmp_path / "out_jpg"
+    stats = export(spark, paths["transcripts"], str(out), fmt="zip",
+                   media_path=media_pq)
+    assert stats["n_images"] > 0
+    with zipfile.ZipFile(out / "export.zip") as z:
+        jpegs = [n for n in z.namelist() if n.endswith(".jpeg")]
+        assert len(jpegs) == stats["n_images"]
+        assert not [n for n in z.namelist() if n.endswith(".png")]
+        blob = z.read(jpegs[0])
+        assert blob == jpg and decode_jpeg(blob)[3] == bytes([42]) * 64
+
+
 def test_export_filename_collisions_disambiguated(spark, tmp_path):
-    """ADVICE r3: conv_ids that collide after secure_filename must not
-    overwrite each other — later ones get a conv_id-hash suffix."""
+    """ADVICE r3 + r4: conv_ids that collide after secure_filename must
+    not overwrite each other. Every LOSSY sanitization gets the conv_id-
+    hash suffix (not just observed collisions), so the final name is a
+    pure function of conv_id — independent of toLocalIterator arrival
+    order, which keeps re-runs/resumes producing identical file sets."""
     import pandas as pd
 
     rows = []

@@ -151,8 +151,27 @@ def test_empty_manifest_lands_empty_table(spark, tmp_path):
     out = str(tmp_path / "out")
     stats = ingest(spark, str(m), out)
     assert stats == {"n_urls": 0, "n_fetched": 0, "n_rejected": 0,
-                     "n_turns": 0, "errors": []}
+                     "n_turns": 0, "errors": [], "n_errors_truncated": 0}
     assert spark.read.parquet(out).count() == 0  # schema-complete empty table
+
+
+def test_error_cap_streams_overflow_to_sidecar(spark, tmp_path):
+    """ADVICE r4: retained error records cap at max_errors so a mostly-
+    failing 10^6-URL manifest cannot grow driver memory; n_rejected
+    stays exact and the overflow streams to <output>_errors.jsonl."""
+    urls = [(tmp_path / f"missing{k}.txt").as_uri() for k in range(7)]
+    m = tmp_path / "urls.txt"
+    m.write_text("\n".join(urls))
+    out = str(tmp_path / "out")
+    stats = ingest(spark, str(m), out, max_errors=3)
+    assert stats["n_rejected"] == 7 and len(stats["errors"]) == 3
+    assert stats["n_errors_truncated"] == 4
+    sidecar = [json.loads(line) for line in
+               open(out + "_errors.jsonl").read().splitlines()]
+    assert len(sidecar) == 4
+    # retained + streamed = every rejected URL, in manifest order
+    all_urls = [e["url"] for e in stats["errors"]] + [e["url"] for e in sidecar]
+    assert all_urls == urls
 
 
 def test_parallel_ingest_identical_to_sequential(spark, tmp_path):

@@ -301,16 +301,17 @@ def test_feature_extraction_real_decode(spark):
     jpeg = img["media_id"] % 9 == 6
     assert (img.loc[~jpeg, "format"] == "png").all()
     assert (img.loc[jpeg, "format"] == "jpeg").all()
-    assert img.loc[~jpeg, "decoded"].all()  # gray AND rgb PNGs decode
-    assert not img.loc[jpeg, "decoded"].any()
-    # width/height real for ALL image rows (JPEG via SOF header parse)
+    # gray AND rgb PNGs decode, and baseline JPEGs decode for real too
+    assert img["decoded"].all()
+    # width/height real for ALL image rows
     assert (img["width"] == 16 + (img["media_id"] % 5) * 4).all()
     assert (img["height"] == 12 + (img["media_id"] % 7) * 4).all()
     # pixel_sum: genuinely decoded pixels match the synthesis formula
     for _, r in img.head(30).iterrows():
         d, w, h = int(r["media_id"]), int(r["width"]), int(r["height"])
         if d % 9 == 6:
-            assert pd_isna(r["pixel_sum"])
+            # constant-color JPEG: DC-only blocks round-trip bit-exactly
+            assert r["pixel_sum"] == w * h * ((d * 7 + 13) % 256)
         elif d % 9 == 3:
             assert r["pixel_sum"] == sum(
                 (x + 3 * y + 5 * c + d) % 256
@@ -326,6 +327,16 @@ def test_feature_extraction_real_decode(spark):
     aud = pdf[pdf["kind"] == "audio"]
     assert (aud["format"] == "wav").all()
     assert (aud["n_frames"] >= 0).all()  # octet_length(text) // 2
+    # real 16-bit PCM sample decode: exact stats of the fixture wave
+    for _, r in aud.head(10).iterrows():
+        d, n = int(r["media_id"]), int(r["n_frames"])
+        samples = [((i * 31 + d) % 201) - 100 for i in range(n)]
+        if n == 0:
+            assert pd_isna(r["sample_min"]) and pd_isna(r["sample_sumsq"])
+        else:
+            assert r["sample_min"] == min(samples)
+            assert r["sample_max"] == max(samples)
+            assert r["sample_sumsq"] == sum(s * s for s in samples)
 
 
 def test_feature_extraction_deterministic(spark):
@@ -345,9 +356,13 @@ def test_resize_real_png_thumbnails(spark):
     png = stats[stats["media_id"] % 9 != 6]
     assert (png[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
     assert (png[["thumb_w", "thumb_h"]] >= 1).all().all()
-    # JPEG rows take the documented stub-thumb path → NULL stats
+    # JPEG rows decode for real now: constant-color thumb, exact sum
     jpeg = stats[stats["media_id"] % 9 == 6]
-    assert len(jpeg) > 0 and jpeg["thumb_pixel_sum"].isna().all()
+    assert len(jpeg) > 0
+    for _, r in jpeg.head(10).iterrows():
+        d = int(r["media_id"])
+        expect = int(r["thumb_w"]) * int(r["thumb_h"]) * ((d * 7 + 13) % 256)
+        assert r["thumb_pixel_sum"] == expect
     # the re-encoded thumbnails are valid PNGs whose pixels are the exact
     # nearest-neighbor samples of the source formula (all channels)
     for _, r in png.head(20).iterrows():
