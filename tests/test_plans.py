@@ -62,6 +62,20 @@ def test_assembly_has_single_exchange_with_partial_agg(spark, fixture_paths):
     assert "partial_count" in plan or "ObjectHashAggregate" in plan
 
 
+def test_assembly_sorts_turn_array_once(spark, fixture_paths):
+    """VERDICT r4 item 2: the O(n log n) array_sort must run once per
+    group — the agg emits one sorted array and a SEPARATE projection
+    derives both joiner variants (CollapseProject must not re-merge the
+    projection, which would re-duplicate the sort per output column)."""
+    df = assemble_conversations(
+        extract_turns(read_transcripts(spark, fixture_paths["transcripts"]))
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_sort") == 1
+    # the derivation stays a Project over the Aggregate
+    assert "Project [conv_id" in optimized.split("Aggregate")[0]
+
+
 def test_agg_uses_partial_aggregation(spark):
     plan = _plan(Q["a1_counts_per_group"](spark, SF_DIR))
     assert "partial_sum" in plan or "partial_count" in plan
