@@ -151,6 +151,29 @@ def test_bomb_guard_rejects_huge_geometry():
         decode_jpeg(bytes(data))
 
 
+_REAL_JPEG = "/root/reference/assets/img/banner.jpg"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_REAL_JPEG),
+                    reason="reference assets not present")
+def test_decodes_real_world_jpeg():
+    """The decoder must handle a REAL encoder's output (the reference
+    repo's banner: real Huffman tables, subsampling, multi-marker
+    stream) — not just our own encoder's. Geometry is ground truth
+    (SOF header); the payload hash pins decode behavior so any codec
+    change that alters real-world output is caught (self-consistency
+    pin — no independent pixel ground truth in this container)."""
+    import hashlib
+
+    data = open(_REAL_JPEG, "rb").read()
+    w, h, c, px = decode_jpeg(data)
+    assert (w, h, c) == (1728, 576, 3)
+    assert len(px) == w * h * c
+    assert hashlib.sha256(px).hexdigest() == (
+        "2f00b24834b74d50ff68f020603b3a48a63fa67ec002978979d61c8ff6b19bda"
+    )
+
+
 def test_bad_magic_and_garbage():
     with pytest.raises(JpegError):
         decode_jpeg(b"not a jpeg at all")
