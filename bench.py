@@ -409,6 +409,12 @@ def _write_bench_md(
     asm: tuple[float, float] | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # --scaling unconditionally rewrites BASELINE.md (only --hunt does
+    # keep-or-revert); snapshot the incumbent so a worse run never
+    # silently destroys the kept record (round-5 near-miss)
+    baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(baseline):
+        shutil.copyfile(baseline, baseline + ".prev")
     n_lo, n_hi = pair
     n = results[n_hi]["n_turns"]
     asm_lo, asm_hi = asm if asm else (
