@@ -631,7 +631,12 @@ def run_hunt() -> dict:
             q[f"assemble_tps_local{n_hi}"] / q[f"assemble_tps_local{n_lo}"] / 4.0, 3
         )
         score = min(ext_eff, asm_eff)
-        keep = score > best_score or (ext_eff >= 0.8 and asm_eff >= 0.8)
+        # keep strictly-better runs only: a both-≥0.8 run that is WORSE
+        # than the incumbent still counts as success (the hunt exits and
+        # the repetition is in hunt_log.jsonl) but must not replace a
+        # better kept record with a lesser one (round-5 lesson: the
+        # 0.852/0.834 record nearly got clobbered by a 0.80-ish shot)
+        keep = score > best_score
         if keep:
             best_score, best_summary = score, summary
         elif snapshot is not None:

@@ -179,3 +179,36 @@ def test_bad_magic_and_garbage():
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(JpegError):
         decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04ab\xde\xad\xbe\xef")
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_single_byte_mutation_never_crashes(pos, val, seed):
+    """Untrusted-corpus hardening: this decoder runs inside executor
+    tasks over arbitrary bytes. Any single-byte corruption of a valid
+    stream must either still decode (entropy-data bit flips usually
+    produce wrong-but-valid pixels) or raise JpegError — never
+    IndexError/struct.error/ValueError, and never hang."""
+    rng = np.random.RandomState(seed % 5)  # a few base images
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    data = bytearray(encode_jpeg(16, 16, img.tobytes(), restart_interval=1))
+    data[pos % len(data)] = val
+    try:
+        w, h, c, px = decode_jpeg(bytes(data))
+        assert len(px) == w * h * c
+    except JpegError:
+        pass  # the documented containment path
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_fuzz_random_bytes_never_crash(data):
+    for payload in (data, b"\xff\xd8\xff" + data):
+        try:
+            decode_jpeg(payload)
+        except JpegError:
+            pass

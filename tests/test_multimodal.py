@@ -240,6 +240,33 @@ def test_wav_header_roundtrip():
     assert parse_wav_header(wav) == (8000, 2, 7)
 
 
+def test_wav_sample_stats_real_pcm():
+    """parse_wav_samples: exact int16 LE stats; non-PCM shapes raise
+    WavError (the containment path); empty data chunk → None."""
+    import struct as _s
+
+    from mistral_ocr_app_spark.functions.png import parse_wav_samples
+
+    samples = [-100, 0, 77, 32767, -32768]
+    wav = build_wav(_s.pack("<5h", *samples))
+    assert parse_wav_samples(wav) == (
+        -32768, 32767, sum(s * s for s in samples)
+    )
+    assert parse_wav_samples(build_wav(b"")) is None
+    eight_bit = build_wav(b"\x01\x02", bits=8)
+    with pytest.raises(WavError):
+        parse_wav_samples(eight_bit)
+    # single-byte mutations must never escape as struct/IndexError
+    for pos in range(len(wav)):
+        for val in (0x00, 0xFF):
+            mutated = bytearray(wav)
+            mutated[pos] = val
+            try:
+                parse_wav_samples(bytes(mutated))
+            except WavError:
+                pass
+
+
 def test_wav_truncated_fmt_raises_waverror():
     """fmt chunk declaring 16 bytes over a truncated buffer → WavError,
     not struct.error (ADVICE r3: one malformed RIFF must take the
