@@ -38,10 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the /image/ paths the extractor rewrites refs to (markdown.py X3/X5)
 _IMG_REF = re.compile(r"!\[[^\]]*\]\((/image/[^)\s]+)\)")
 
-# payload formats we name by their sniffed extension; anything else
+# payload formats we name by their sniffed extension — exactly the
+# values sniff_format can return for a concrete format; anything else
 # (unknown/empty/riff container oddities) exports as .bin, never a
 # misleading image extension
-_KNOWN_EXTS = {"png", "jpeg", "gif", "webp", "bmp", "tiff", "svg", "wav", "mp4"}
+_KNOWN_EXTS = {"png", "jpeg", "gif", "webp", "wav", "mp4"}
 
 HTML_TEMPLATE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title>

@@ -222,22 +222,24 @@ def ingest(spark, manifest_path: str, output_path: str,
         n_turns += len(rows)
         rows, wrote_any = [], True
 
-    if urls:
-        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-            fetched = pool.map(lambda u: _fetch_one(u, max_bytes, timeout), urls)
-            for i, (url, (payload, err)) in enumerate(zip(urls, fetched), 1):
-                if err is not None:
-                    record_error(url, err)
-                else:
-                    try:
-                        rows.extend(parse_payload(url, payload))
-                    except Exception as e:
-                        record_error(url, f"parse: {str(e)[:180]}")
-                if flush_every and i % flush_every == 0:
-                    flush()
-    flush(force=True)  # final partial batch (or an empty table for an empty run)
-    if err_sidecar is not None:
-        err_sidecar.close()
+    try:
+        if urls:
+            with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+                fetched = pool.map(lambda u: _fetch_one(u, max_bytes, timeout), urls)
+                for i, (url, (payload, err)) in enumerate(zip(urls, fetched), 1):
+                    if err is not None:
+                        record_error(url, err)
+                    else:
+                        try:
+                            rows.extend(parse_payload(url, payload))
+                        except Exception as e:
+                            record_error(url, f"parse: {str(e)[:180]}")
+                    if flush_every and i % flush_every == 0:
+                        flush()
+        flush(force=True)  # final partial batch (empty table for an empty run)
+    finally:
+        if err_sidecar is not None:
+            err_sidecar.close()
     return {
         "n_urls": len(urls),
         "n_fetched": len(urls) - n_rejected,
