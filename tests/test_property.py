@@ -104,6 +104,34 @@ def test_png_roundtrip_any_channels_any_filters(img):
     assert decode_png(data) == (w, h, ch, pixels)
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 4),
+)
+def test_png_single_byte_mutation_never_crashes(pos, val, seed):
+    """Untrusted-corpus hardening (symmetric with the JPEG fuzz): any
+    single-byte corruption of a valid PNG must either decode or raise
+    PngError — CRC catches most, but IDAT-length/filter-type/geometry
+    corruptions each exercise a different guard; none may escape as
+    struct.error/IndexError/zlib.error or hang."""
+    import numpy as np
+
+    from mistral_ocr_app_spark.functions.png import PngError, decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    w, h, ch = 9, 7, (seed % 4) + 1
+    pixels = bytes(rng.randint(0, 256, size=w * h * ch, dtype=np.uint8))
+    data = bytearray(encode_png(w, h, pixels, channels=ch))
+    data[pos % len(data)] = val
+    try:
+        W, H, C, px = decode_png(bytes(data))
+        assert len(px) == W * H * C
+    except PngError:
+        pass  # the documented containment path
+
+
 @settings(max_examples=200, deadline=None)
 @given(png_image_st, st.integers(1, 10))
 def test_resize_nearest_samples_exact_pixels(img, max_side):
