@@ -499,7 +499,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise UnsupportedJpegError(f"sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, qid))
-            if not w or not h or w * h * nc > MAX_PIXEL_BYTES:
+            # stricter than the PNG cap: the decoder holds per-component
+            # float32 coefficient planes (4 bytes/sample), so the
+            # transient allocation is 4x the pixel bytes — cap pixels at
+            # MAX_PIXEL_BYTES/4 (64 MiB ≈ an 8k x 8k grayscale frame)
+            # to bound executor memory per decoded image
+            if not w or not h or w * h * nc > MAX_PIXEL_BYTES // 4:
                 raise JpegError(f"implausible JPEG geometry {w}x{h} (bomb guard)")
             frame = (h, w, comps)
         elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
@@ -533,9 +538,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # per-component coefficient planes (padded to whole MCUs)
+    # per-component spatial planes (padded to whole MCUs); float32 —
+    # values are in [-128, 383] pre-clip where 24 mantissa bits are
+    # exact to ~1e-5, far below the 0.5 rounding threshold
     planes = [
-        np.zeros((mcuy * vs * 8, mcux * hs * 8)) for (_c, hs, vs, _q) in comps
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float32)
+        for (_c, hs, vs, _q) in comps
     ]
     dc_t, ac_t, dq = [], [], []
     for (cid, hs, vs, qid) in comps:

@@ -170,7 +170,7 @@ def test_decodes_real_world_jpeg():
     assert (w, h, c) == (1728, 576, 3)
     assert len(px) == w * h * c
     assert hashlib.sha256(px).hexdigest() == (
-        "2f00b24834b74d50ff68f020603b3a48a63fa67ec002978979d61c8ff6b19bda"
+        "43d25be0119f18c61e8e1b11fe942945d06fba5050104bede9d2dc1fca35ddfd"
     )
 
 
