@@ -75,13 +75,18 @@ def conversation_metadata(row) -> dict:
 
 def conversation_html(row) -> str:
     """Interactive-HTML analog: one <details> section per page split on
-    the page joiner, escaped (no script injection from corpus text)."""
+    the page joiner, with the page markdown RENDERED to HTML (X15 — the
+    reference does this client-side with ``marked.parse``, templates/
+    index.html:25; ``markdown_to_html`` is the injection-safe
+    server-side analog, escape-first so corpus text cannot script)."""
+    from mistral_ocr_app_spark.functions.markdown import markdown_to_html
+
     pages = row["combined_app"].split("\n\n---\n\n")
     sections = "\n".join(
-        "<details{}><summary>{}</summary><pre>{}</pre></details>".format(
+        "<details{}><summary>{}</summary>{}</details>".format(
             " open" if i == 0 else "",
             html_mod.escape(p.splitlines()[0] if p else f"page {i + 1}"),
-            html_mod.escape(p),
+            markdown_to_html(p),
         )
         for i, p in enumerate(pages)
     )

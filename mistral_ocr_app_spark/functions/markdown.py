@@ -284,6 +284,74 @@ def extract_mock_document_cli(payload: str) -> str:
     return combine_pages_cli(mds)
 
 
+# ------------------------------------------------------- HTML rendering ---
+
+# X15: the reference renders extracted markdown to HTML client-side via
+# marked.js (templates/index.html:25, compare.html:340
+# ``marked.parse(page.markdown)``). This is the server-side analog for
+# the export path, covering exactly the markdown subset the extraction
+# pipeline emits: ATX headers, image refs, links, ---/*** rules,
+# `code` / **bold** / *em* inlines, paragraphs. Escaping-first: the
+# whole input is HTML-escaped BEFORE any transform, so corpus text can
+# never inject markup; href/src are restricted to http(s)/root-relative
+# /#-anchor targets (a javascript: URL renders as plain text).
+
+_MD_IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)\s]+)\)")
+_MD_LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)\s]+)\)")
+_MD_CODE_RE = re.compile(r"`([^`]+)`")
+_MD_BOLD_RE = re.compile(r"\*\*([^*]+)\*\*")
+_MD_EM_RE = re.compile(r"\*([^*]+)\*")
+_SAFE_URL_RE = re.compile(r"^(?:https?:|/|#)")
+
+
+def _md_inline(text: str) -> str:
+    """Inline transforms over ALREADY-ESCAPED text."""
+
+    def img(m: re.Match) -> str:
+        alt, src = m.group(1), m.group(2)
+        if not _SAFE_URL_RE.match(src):
+            return m.group(0)  # unsafe target stays visible plain text
+        return f'<img src="{src}" alt="{alt}"/>'
+
+    def link(m: re.Match) -> str:
+        label, href = m.group(1), m.group(2)
+        if not _SAFE_URL_RE.match(href):
+            return m.group(0)
+        return f'<a href="{href}">{label}</a>'
+
+    text = _MD_IMG_RE.sub(img, text)  # image syntax embeds link syntax
+    text = _MD_LINK_RE.sub(link, text)
+    text = _MD_CODE_RE.sub(r"<code>\1</code>", text)
+    text = _MD_BOLD_RE.sub(r"<strong>\1</strong>", text)
+    text = _MD_EM_RE.sub(r"<em>\1</em>", text)
+    return text
+
+
+def markdown_to_html(md: str) -> str:
+    """Markdown → HTML for the subset the pipeline emits (see module
+    note above). Deterministic, stdlib-only, injection-safe by
+    escape-first construction."""
+    import html as _html
+
+    blocks = re.split(r"\n\s*\n", _html.escape(md or "", quote=True))
+    out = []
+    for block in blocks:
+        block = block.strip()
+        if not block:
+            continue
+        if re.fullmatch(r"(-{3,}|\*{3,})", block):
+            out.append("<hr/>")
+            continue
+        m = re.match(r"(#{1,6})\s+(.*)", block)
+        if m and "\n" not in block:
+            level = len(m.group(1))
+            out.append(f"<h{level}>{_md_inline(m.group(2).strip())}</h{level}>")
+            continue
+        body = "<br/>".join(_md_inline(line) for line in block.splitlines())
+        out.append(f"<p>{body}</p>")
+    return "\n".join(out)
+
+
 # ------------------------------------------------------------ validation ---
 
 

@@ -175,3 +175,39 @@ def test_base64_lenient_decode_matches_reference():
     assert g.golden_base64(wrapped) is not None  # golden agrees
     # genuinely broken payloads are still rejected
     assert not md.parse_base64_payload("!!!not base64!!!")["valid"]
+
+
+# ------------------------------------------- X15 markdown→HTML render ---
+
+
+def test_markdown_to_html_subset():
+    """X15: server-side analog of the reference's client-side
+    marked.parse (templates/index.html:25) over exactly the markdown
+    subset the extraction pipeline emits."""
+    html = md.markdown_to_html(
+        "# Страница 1\n\nFirst *para* with **bold** and `code`.\n"
+        "Second line.\n\n![figure 0](/image/img-0.png)\n\n---\n\n"
+        "[link](https://example.com/doc)"
+    )
+    assert "<h1>Страница 1</h1>" in html
+    assert "<em>para</em>" in html and "<strong>bold</strong>" in html
+    assert "<code>code</code>" in html
+    assert "Second line" in html and "<br/>" in html
+    assert '<img src="/image/img-0.png" alt="figure 0"/>' in html
+    assert "<hr/>" in html
+    assert '<a href="https://example.com/doc">link</a>' in html
+
+
+def test_markdown_to_html_injection_safe():
+    """Escape-first: corpus text can never inject markup; unsafe URL
+    schemes render as plain text, not as href/src."""
+    html = md.markdown_to_html(
+        "<script>alert(1)</script>\n\n"
+        "[x](javascript:alert(1))\n\n![y](data:text/html,evil)"
+    )
+    assert "<script" not in html
+    assert "&lt;script&gt;" in html
+    assert "javascript:" in html and "<a " not in html  # stays plain text
+    assert "<img" not in html
+    # empty / None-ish input degrades to empty output
+    assert md.markdown_to_html("") == ""
