@@ -24,8 +24,12 @@ What is REAL vs stubbed (container has no PIL/ffmpeg):
   the PCM frame count, and 16-bit PCM samples are struct-decoded for
   exact min/max/sum-of-squares stats (``sample_min``/``sample_max``/
   ``sample_sumsq``); compressed WAV raises → stats stay NULL.
+* MJPEG AVI: **fully real** — ``functions/avi.py`` walks the RIFF
+  container for the frame streams and ``functions/jpeg.py`` decodes
+  each sampled frame's pixels, so video container parse AND sample
+  decode are genuine for this format.
 * MP4: the synthetic ftyp container's big-endian frame count is read
-  by a real header parse; actual video *sample* decode stays an honest
+  by a real header parse; H.264 *sample* decode stays an honest
   deterministic stub (needs ffmpeg).
 * Unknown formats: deterministic digest-derived fallback,
   ``decoded = false``.
@@ -46,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.avi import AviError, build_avi_mjpeg, parse_avi_mjpeg
 from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
 from ..functions.png import (
     PngError,
@@ -110,7 +115,9 @@ def sniff_format(content: bytes) -> str:
         if content.startswith(magic):
             if fmt == "riff" and len(content) >= 12:
                 sub = content[8:12]
-                return {"WEBP": "webp", "WAVE": "wav"}.get(sub.decode("ascii", "replace"), "riff")
+                return {"WEBP": "webp", "WAVE": "wav", "AVI ": "avi"}.get(
+                    sub.decode("ascii", "replace"), "riff"
+                )
             if fmt == "mp4?" and len(content) >= 12 and content[4:8] == b"ftyp":
                 return "mp4"
             if fmt not in ("riff", "mp4?"):
@@ -193,6 +200,18 @@ def decode_media(content: bytes, kind: str) -> dict:
                 sample_min, sample_max, sample_sumsq = stats
         except WavError:
             pass  # non-PCM/non-16-bit: stats stay NULL
+    elif fmt == "avi":
+        # MJPEG AVI: REAL container parse + REAL pixel decode of the
+        # first frame (functions/avi.py + functions/jpeg.py)
+        try:
+            w, h, frames = parse_avi_mjpeg(content)
+            n_frames = len(frames)
+            if frames:
+                fw, fh, _ch, pixels = decode_jpeg(frames[0])
+                width, height, pixel_sum = fw, fh, sum(pixels)
+                decoded = True
+        except (AviError, JpegError):
+            n_frames = 1  # corrupt container/frame: honest fallback
     elif fmt == "mp4":
         parsed = parse_mp4_frame_count(content)
         n_frames = parsed if parsed is not None else 1
@@ -358,6 +377,20 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
         rows = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
+            if sniff_format(content) == "avi":
+                # MJPEG AVI: REAL sample decode — each sampled frame's
+                # JPEG stream is entropy-decoded and the digest is over
+                # the actual PIXELS (what an ffmpeg-backed sampler
+                # hashes), not the container bytes
+                try:
+                    _w, _h, frames = parse_avi_mjpeg(content)
+                    for fi in range(0, len(frames), every_k):
+                        _fw, _fh, _c, px = decode_jpeg(frames[fi])
+                        fd = hashlib.sha256(px).hexdigest()[:16]
+                        rows.append((int(mid), fi, fd))
+                    continue
+                except (AviError, JpegError):
+                    pass  # corrupt: fall through to the stub path
             d = decode_media(content, "video")
             # hash the payload ONCE per media row, then mix the frame
             # index — O(bytes + frames), not O(bytes * frames/k)
@@ -397,7 +430,13 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 #         DC-only so encode→decode is bit-exact, which keeps
 #         pixel_sum = w*h*v SQL-predictable despite JPEG being lossy
 #         in general (round-trip exactness pinned in test_jpeg.py)
-#   video (doc_id%3==1): synthetic ftyp container, frame count 24+(d%7)*16
+#   video (doc_id%3==1), sub-split:
+#     d%9==1: REAL MJPEG AVI (functions/avi.py) with 2+(d%4) constant-
+#         gray JPEG frames, frame f's value = (d*7 + f*11 + 5) % 256 —
+#         container walk AND per-frame pixel decode are real; frame-0
+#         stats (16x8, pixel_sum = 128*v) are SQL-predictable
+#     d%9∈{4,7}: synthetic ftyp container, frame count 24+(d%7)*16
+#         (header-parse real; sample decode = documented stub, no ffmpeg)
 #   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), n = strlen(text)//2
 #       samples of sample(i) = ((i*31 + d) % 201) - 100 → n_frames = n
 #       via real header parse, and min/max/sum-of-squares stats are
@@ -450,8 +489,23 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     )
             elif d % 3 == 1:
                 kind = "video"
-                frames = 24 + (d % 7) * 16
-                content = _MP4_PREFIX + struct.pack(">I", frames) + tb
+                if d % 9 == 1:
+                    # REAL MJPEG AVI: 2..5 constant-gray JPEG frames,
+                    # frame f's value = (d*7 + f*11 + 5) % 256 — fully
+                    # decodable, frame-0 stats SQL-predictable
+                    nf = 2 + d % 4
+                    content = build_avi_mjpeg(
+                        [
+                            encode_jpeg(
+                                16, 8, bytes([(d * 7 + f * 11 + 5) % 256]) * 128
+                            )
+                            for f in range(nf)
+                        ],
+                        16, 8,
+                    )
+                else:
+                    frames = 24 + (d % 7) * 16
+                    content = _MP4_PREFIX + struct.pack(">I", frames) + tb
             else:
                 kind = "audio"
                 n = len(tb) // 2
@@ -505,19 +559,26 @@ from .registry import load, register  # noqa: E402
       CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
       CASE WHEN m.doc_id % 3 = 0 THEN
              (CASE WHEN m.doc_id % 9 = 6 THEN 'jpeg' ELSE 'png' END)
-           WHEN m.doc_id % 3 = 1 THEN 'mp4' ELSE 'wav' END AS format,
-      CASE WHEN m.doc_id % 3 = 0 THEN CAST(16 + (m.doc_id % 5) * 4 AS INT) END AS width,
-      CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT) END AS height,
-      CAST(CASE m.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 24 + (m.doc_id % 7) * 16
+           WHEN m.doc_id % 3 = 1 THEN
+             (CASE WHEN m.doc_id % 9 = 1 THEN 'avi' ELSE 'mp4' END)
+           ELSE 'wav' END AS format,
+      CASE WHEN m.doc_id % 3 = 0 THEN CAST(16 + (m.doc_id % 5) * 4 AS INT)
+           WHEN m.doc_id % 9 = 1 THEN 16 END AS width,
+      CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT)
+           WHEN m.doc_id % 9 = 1 THEN 8 END AS height,
+      CAST(CASE WHEN m.doc_id % 3 = 0 THEN 1
+           WHEN m.doc_id % 9 = 1 THEN 2 + m.doc_id % 4
+           WHEN m.doc_id % 3 = 1 THEN 24 + (m.doc_id % 7) * 16
            ELSE nb // 2 END AS INT) AS n_frames,
       CAST(CASE WHEN m.doc_id % 9 = 6 THEN
              (16 + (m.doc_id % 5) * 4) * (12 + (m.doc_id % 7) * 4)
                * ((m.doc_id * 7 + 13) % 256)
+           WHEN m.doc_id % 9 = 1 THEN 128 * ((m.doc_id * 7 + 5) % 256)
            ELSE px.ps END AS BIGINT) AS pixel_sum,
       CAST(au.smin AS INT) AS sample_min,
       CAST(au.smax AS INT) AS sample_max,
       CAST(au.ssq AS BIGINT) AS sample_sumsq,
-      (m.doc_id % 3 = 0) AS decoded
+      (m.doc_id % 3 = 0 OR m.doc_id % 9 = 1) AS decoded
     FROM m LEFT JOIN px ON m.doc_id = px.doc_id
            LEFT JOIN au ON m.doc_id = au.doc_id
     """,
@@ -587,14 +648,18 @@ def m3_thumbnail_pixels(spark, sf_dir):
     SELECT doc_id AS media_id, CAST(16 * g.i AS INT) AS frame_idx
     FROM documents CROSS JOIN generate_series(0, 7) g(i)
     WHERE doc_id % 3 = 1 AND doc_id < 300
-      AND 16 * g.i < {_MP4_FRAMES_SQL}
+      AND 16 * g.i < CASE WHEN doc_id % 9 = 1 THEN 2 + doc_id % 4
+                          ELSE {_MP4_FRAMES_SQL} END
     """,
     "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
-    "(mapInPandas fan-out batch shape). Value-oracled: the synthetic "
-    "container's ftyp header carries a big-endian frame count the "
-    "decoder's REAL header parse must recover, so the fan-out row set "
-    "is SQL-predictable; the per-frame digest (binary-dependent) stays "
-    "engine-side and is covered by test_multimodal determinism checks",
+    "(mapInPandas fan-out batch shape). MJPEG-AVI rows (doc_id%9==1) "
+    "are REAL sample decodes: the RIFF container walk yields JPEG "
+    "frame streams, each entropy-decoded and digested over the actual "
+    "pixels; mp4 rows keep the header-parsed fan-out with the "
+    "documented digest stub (H.264 needs ffmpeg). The row set is "
+    "SQL-predicted from both containers' real frame counts; digests "
+    "(binary-dependent) stay engine-side under test_multimodal "
+    "determinism + known-pixel checks",
 )
 def m2_video_frame_sample(spark, sf_dir):
     media = media_from_documents(

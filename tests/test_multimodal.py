@@ -349,8 +349,18 @@ def test_feature_extraction_real_decode(spark):
                 (x + 3 * y + d) % 256 for y in range(h) for x in range(w)
             )
     vid = pdf[pdf["kind"] == "video"]
-    assert (vid["format"] == "mp4").all()
-    assert (vid["n_frames"] == 24 + (vid["media_id"] % 7) * 16).all()
+    avi = vid["media_id"] % 9 == 1
+    assert (vid.loc[avi, "format"] == "avi").all()
+    assert (vid.loc[~avi, "format"] == "mp4").all()
+    # MJPEG AVI rows: real container parse + real frame-0 pixel decode
+    assert (vid.loc[avi, "n_frames"] == 2 + vid.loc[avi, "media_id"] % 4).all()
+    assert vid.loc[avi, "decoded"].all()
+    assert (
+        vid.loc[avi, "pixel_sum"]
+        == 128 * ((vid.loc[avi, "media_id"] * 7 + 5) % 256)
+    ).all()
+    assert (vid.loc[~avi, "n_frames"]
+            == 24 + (vid.loc[~avi, "media_id"] % 7) * 16).all()
     aud = pdf[pdf["kind"] == "audio"]
     assert (aud["format"] == "wav").all()
     assert (aud["n_frames"] >= 0).all()  # octet_length(text) // 2
@@ -416,3 +426,48 @@ def test_frame_sampling_fanout(spark):
     assert (pdf["frame_idx"] % 16 == 0).all()
     per = pdf.groupby("media_id")["frame_idx"].min()
     assert (per == 0).all()
+
+
+def test_avi_real_frame_sample_decode(spark):
+    """MJPEG-AVI rows: the sampled frame digest is over the REAL
+    decoded pixels — verify against the known constant-color frame
+    (value (d*7 + 0*11 + 5) % 256 over 16x8 grayscale)."""
+    import hashlib
+
+    frames = sample_video_frames(_media(spark), every_k=16).toPandas()
+    avi = frames[frames["media_id"] % 9 == 1]
+    assert len(avi) > 0
+    for _, r in avi.head(8).iterrows():
+        d = int(r["media_id"])
+        expect_px = bytes([(d * 7 + 5) % 256]) * 128
+        assert r["frame_digest"] == hashlib.sha256(expect_px).hexdigest()[:16]
+        assert r["frame_idx"] == 0  # 2-5 frames, every_k=16 samples one
+
+
+def test_avi_container_roundtrip_and_fuzz():
+    """build → parse identity; single-byte mutations raise only
+    AviError (or still parse) — the untrusted-corpus contract."""
+    from mistral_ocr_app_spark.functions.avi import (
+        AviError,
+        build_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+    from mistral_ocr_app_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [encode_jpeg(16, 8, bytes([v]) * 128) for v in (3, 250)]
+    avi = build_avi_mjpeg(frames, 16, 8)
+    w, h, out = parse_avi_mjpeg(avi)
+    assert (w, h) == (16, 8) and out == frames
+    assert decode_jpeg(out[1])[3] == bytes([250]) * 128
+    for pos in range(0, len(avi), 7):
+        for val in (0x00, 0xFF):
+            mutated = bytearray(avi)
+            mutated[pos] = val
+            try:
+                parse_avi_mjpeg(bytes(mutated))
+            except AviError:
+                pass
+    # a frame payload that is not JPEG must be contained by decode_media
+    bad = build_avi_mjpeg([b"not a jpeg"], 4, 4)
+    d = decode_media(bad, "video")
+    assert d["format"] == "avi" and d["n_frames"] == 1 and not d["decoded"]
