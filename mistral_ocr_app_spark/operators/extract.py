@@ -171,6 +171,36 @@ def exploded_spans(transcripts: DataFrame) -> DataFrame:
     )
 
 
+@F.pandas_udf(T.ArrayType(SPAN_STRUCT))
+def parse_pdf_bytes_udf(pdf_bytes: pd.Series) -> pd.Series:
+    """S4 for REAL PDF bytes — ``functions/pdf.py`` byte-level parse
+    (object scan → page-tree walk → FlateDecode → content-stream text
+    matrix) to the same ordered span structs as ``parse_spans_udf``.
+    Malformed PDFs yield an empty span list (the documented containment
+    path), never a task failure."""
+    from ..functions import pdf as pdfmod
+
+    def _parse(b) -> list[dict]:
+        if b is None:
+            return []
+        try:
+            return pdfmod.parse_pdf_spans(bytes(b))
+        except pdfmod.PdfError:
+            return []
+
+    return pdf_bytes.map(_parse)
+
+
+def extract_pdf_spans(pdfs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, <binary PDF column>) → one row per text span, ordered by
+    (doc_id, page, span_idx) — the real-PDF analog of ``exploded_spans``."""
+    return (
+        pdfs.select("doc_id", parse_pdf_bytes_udf(F.col(content_col)).alias("spans"))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
 @F.pandas_udf(T.StringType())
 def strip_html_udf(html: pd.Series) -> pd.Series:
     """V2 — north-rule HTML boilerplate stripper as a scalar pandas UDF."""
