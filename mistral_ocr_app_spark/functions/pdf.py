@@ -240,12 +240,27 @@ _TOKEN_RE = re.compile(
 
 
 def parse_pdf_spans(data: bytes) -> list[dict]:
-    """Real PDF → ordered span dicts (engine span-struct shape)."""
+    """Real PDF → ordered span dicts (engine span-struct shape).
+
+    Scope: classic uncompressed-xref PDFs whose page/content objects
+    are top-level ``N 0 obj`` bodies (what ``build_pdf`` writes and
+    what most pre-1.5-style generators emit). Documents that hide
+    their objects in object streams (``/ObjStm``, PDF 1.5 compressed
+    xref) raise ``PdfError`` — the explicit unsupported-shape signal —
+    rather than silently returning zero spans."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (bad magic)")
     objs = _objects(data)
+    page_ids = _page_ids(objs)
+    if not page_ids:
+        reason = (
+            "object-stream (/ObjStm) PDFs unsupported"
+            if b"/ObjStm" in data
+            else "no page objects found"
+        )
+        raise PdfError(reason)
     spans: list[dict] = []
-    for page_no, pid in enumerate(_page_ids(objs)):
+    for page_no, pid in enumerate(page_ids):
         body = objs[pid]
         cid = _ref(body, b"Contents")
         if cid is None or cid not in objs:

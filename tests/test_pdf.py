@@ -119,6 +119,18 @@ def test_pdf_single_byte_mutation_never_crashes(pos, val):
         pass  # documented containment path
 
 
+def test_pdf_pageless_and_objstm_raise():
+    """A structurally-PDF-ish stream with no reachable page objects
+    (e.g. an object-stream document whose pages hide in /ObjStm) must
+    raise the explicit unsupported signal, never silently return []."""
+    with pytest.raises(PdfError, match="no page objects"):
+        parse_pdf_spans(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n%%EOF")
+    with pytest.raises(PdfError, match="ObjStm"):
+        parse_pdf_spans(
+            b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 3 >>\nendobj\n%%EOF"
+        )
+
+
 def test_spark_pdf_span_fanout(spark):
     """Binary PDF column → exploded span rows via the Arrow-batched
     UDF: the real-PDF S4 path end to end on Spark."""
