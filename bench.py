@@ -700,7 +700,30 @@ def main():
         out = run_extract_only(args.cpus)
     else:
         out = run_full(args.cpus)
-    print(json.dumps(out))
+    # The driver keeps only the LAST few KB of stdout, so the final line
+    # must stay compact (round-5 lesson: the embedded per-trial
+    # stage-metrics blob pushed the summary past the tail capture and
+    # BENCH_r05.json came back parsed:null). Spill any bulky keys to
+    # BENCH/trials_last.json and leave a pointer in the summary.
+    bulky = {k: out.pop(k) for k in ("trials", "extract_trials",
+                                     "assemble_trials") if k in out}
+    if bulky:
+        mode = ("hunt" if args.hunt else "paired" if args.paired
+                else "scaling" if args.scaling
+                else "extract_only" if args.extract_only else "full")
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        trials_path = os.path.join(REPO, "BENCH", f"trials_{mode}.json")
+        with open(trials_path, "w") as f:
+            json.dump(bulky, f, indent=1)
+        out["trials_file"] = os.path.relpath(trials_path, REPO)
+    line = json.dumps(out)
+    if len(line) > 4096:  # belt-and-braces: never exceed tail capture
+        slim = {k: out[k] for k in
+                ("metric", "value", "unit", "queries", "sf", "cpus",
+                 "n_turns", "extract_turns_per_sec", "trials_file")
+                if k in out}
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":
