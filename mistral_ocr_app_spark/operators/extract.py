@@ -201,6 +201,70 @@ def extract_pdf_spans(pdfs: DataFrame, content_col: str = "content") -> DataFram
     )
 
 
+@F.pandas_udf(T.ArrayType(SPAN_STRUCT))
+def parse_docx_bytes_udf(docx_bytes: pd.Series) -> pd.Series:
+    """S4 for REAL DOCX bytes — ``functions/docx.py`` ZIP + XML parse
+    (bounded zip open → document-order paragraph/run walk) to the same
+    ordered span structs as ``parse_pdf_bytes_udf``. The reference
+    allow-lists .docx (app.py:46) but never extracts it; this is the
+    engine's real extraction path. Malformed DOCX yields an empty span
+    list (containment), never a task failure."""
+    from ..functions import docx as docxmod
+
+    def _parse(b) -> list[dict]:
+        if b is None:
+            return []
+        try:
+            return docxmod.parse_docx_spans(bytes(b))
+        except docxmod.DocxError:
+            return []
+
+    return docx_bytes.map(_parse)
+
+
+def extract_docx_spans(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, <binary DOCX column>) → one row per run span, ordered by
+    (doc_id, page, span_idx) — the DOCX analog of ``extract_pdf_spans``."""
+    return (
+        docs.select("doc_id", parse_docx_bytes_udf(F.col(content_col)).alias("spans"))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
+_DOCX_RT_STRUCT = T.StructType(
+    [
+        T.StructField("n_paras", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_DOCX_RT_STRUCT)
+def docx_roundtrip_udf(text: pd.Series) -> pd.DataFrame:
+    """Build a REAL DOCX from the document's words (one paragraph per
+    word, each word split into two runs) and parse it back with the
+    byte-level parser — the same build→decode trick the PNG/JPEG media
+    fixtures use to make a real codec's output SQL-predictable: the
+    oracle recomputes the expected extraction as
+    ``array_to_string(list_filter(string_split(text,' '), w<>''),
+    chr(10))`` while THIS side goes through genuine ZIP deflate →
+    inflate → WordprocessingML parse → run concatenation."""
+    from ..functions import docx as docxmod
+
+    def _rt(t) -> tuple:
+        if t is None:
+            return None, None
+        words = [w for w in t.split(" ") if w]
+        paras = [[w[: len(w) // 2], w[len(w) // 2:]] for w in words]
+        extracted = docxmod.paragraph_texts(docxmod.build_docx(paras))
+        return len(extracted), "\n".join(extracted)
+    out = [_rt(t) for t in text]
+    return pd.DataFrame(out, columns=["n_paras", "text"]).astype(
+        {"n_paras": "Int32"}
+    )
+
+
 @F.pandas_udf(T.StringType())
 def strip_html_udf(html: pd.Series) -> pd.Series:
     """V2 — north-rule HTML boilerplate stripper as a scalar pandas UDF."""

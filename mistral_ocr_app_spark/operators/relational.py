@@ -107,19 +107,34 @@ def s9_json_projection(spark, sf_dir):
     "f1_extension_allowlist",
     """
     WITH named AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              'doc_' || CAST(doc_id AS VARCHAR) ||
              CASE doc_id % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.PNG'
                   WHEN 2 THEN '.jpg' WHEN 3 THEN '.txt' ELSE '.docx' END AS fname
       FROM documents)
     SELECT doc_id, fname,
-           lower(regexp_extract(fname, '\\.([^.]+)$', 1)) AS ext
+           lower(regexp_extract(fname, '\\.([^.]+)$', 1)) AS ext,
+           CASE WHEN doc_id % 5 = 4 THEN
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT)
+           END AS docx_n_paras,
+           CASE WHEN doc_id % 5 = 4 THEN
+             array_to_string(list_filter(string_split(text, ' '), w -> w <> ''),
+                             chr(10))
+           END AS docx_text
     FROM named
     WHERE lower(regexp_extract(fname, '\\.([^.]+)$', 1))
           IN ('pdf','png','jpg','jpeg','docx')
     """,
-    "F1+X8: extension allow-list on lowercase rsplit('.',1)[1] "
-    "(app.py:54-57) — the split itself is the X8 op, emitted as a column",
+    "F1+X8+S4(docx): extension allow-list on lowercase rsplit('.',1)[1] "
+    "(app.py:54-57) — the split itself is the X8 op, emitted as a column. "
+    "Allow-listed .docx rows additionally carry a REAL DOCX extraction: "
+    "the engine builds a genuine DOCX (ZIP + WordprocessingML, one "
+    "paragraph per word split into two runs), byte-parses it back "
+    "(functions/docx.py), and the oracle predicts the extracted "
+    "paragraphs with pure SQL — the same build→decode value-oracle "
+    "trick the PNG/JPEG media rows use. The reference allow-lists docx "
+    "(app.py:46) but its OCR API never extracts it (its own TODO); the "
+    "engine makes the format real.",
 )
 def f1_extension_allowlist(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -131,10 +146,19 @@ def f1_extension_allowlist(spark, sf_dir):
             (F.col("doc_id") % 5 + 1).cast("int"),
         ),
     )
-    named = docs.select("doc_id", fname.alias("fname"))
+    from .extract import docx_roundtrip_udf
+
+    rt = docx_roundtrip_udf(F.when(F.col("doc_id") % 5 == 4, F.col("text")))
+    named = docs.select("doc_id", fname.alias("fname"), rt.alias("_rt"))
     ext = F.lower(F.substring_index(F.col("fname"), ".", -1))
-    return named.withColumn("ext", ext).filter(
-        ext.isin("pdf", "png", "jpg", "jpeg", "docx")
+    return (
+        named.withColumn("ext", ext)
+        .filter(ext.isin("pdf", "png", "jpg", "jpeg", "docx"))
+        .select(
+            "doc_id", "fname", "ext",
+            F.col("_rt.n_paras").alias("docx_n_paras"),
+            F.col("_rt.text").alias("docx_text"),
+        )
     )
 
 
