@@ -52,6 +52,12 @@ from pyspark.sql import types as T
 
 from ..functions.avi import AviError, build_avi_mjpeg, parse_avi_mjpeg
 from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+from ..functions.mp4 import (
+    Mp4Error,
+    build_mp4,
+    parse_mp4_sample_table,
+    sample_payload,
+)
 from ..functions.png import (
     PngError,
     WavError,
@@ -134,13 +140,13 @@ def parse_png_dims(content: bytes) -> tuple[int, int] | None:
 
 
 def parse_mp4_frame_count(content: bytes) -> int | None:
-    """Real header parse of our synthetic mp4-like container: an ftyp
-    box whose bytes 8..12 carry a big-endian frame count (a stand-in
-    for the mvhd/stts walk a real demuxer does — the byte-level parsing
-    through Arrow is the part under test; sample decode is not)."""
-    if len(content) >= 12 and content[4:8] == b"ftyp":
-        return int(struct.unpack(">I", content[8:12])[0])
-    return None
+    """REAL mp4 sample-count parse (round 6): box walk → moov → trak →
+    mdia → minf → stbl → stsz via ``functions/mp4.py``. Returns None
+    for files that sniff as mp4 but have no parseable sample table."""
+    try:
+        return parse_mp4_sample_table(content).n_samples
+    except Mp4Error:
+        return None
 
 
 def decode_media(content: bytes, kind: str) -> dict:
@@ -213,6 +219,7 @@ def decode_media(content: bytes, kind: str) -> dict:
         except (AviError, JpegError):
             n_frames = 1  # corrupt container/frame: honest fallback
     elif fmt == "mp4":
+        # real stbl walk (stsz sample count); unparseable → honest 1
         parsed = parse_mp4_frame_count(content)
         n_frames = parsed if parsed is not None else 1
     elif fmt != "empty" and kind == "video":
@@ -365,6 +372,11 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        # real per-sample container metadata (mp4 stsz/stts; NULL for
+        # formats whose per-frame sizes are entropy-coded, e.g. MJPEG
+        # AVI — those are pinned by pytest, not the SQL oracle)
+        T.StructField("sample_size", T.IntegerType()),
+        T.StructField("sample_dur", T.IntegerType()),
         T.StructField("frame_digest", T.StringType()),
     ]
 )
@@ -377,19 +389,40 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
         rows = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):
             content = bytes(content) if content is not None else b""
-            if sniff_format(content) == "avi":
+            fmt = sniff_format(content)
+            if fmt == "avi":
                 # MJPEG AVI: REAL sample decode — each sampled frame's
                 # JPEG stream is entropy-decoded and the digest is over
                 # the actual PIXELS (what an ffmpeg-backed sampler
-                # hashes), not the container bytes
+                # hashes), not the container bytes. Per-frame sizes are
+                # entropy-coded (not SQL-predictable) → NULL columns.
                 try:
                     _w, _h, frames = parse_avi_mjpeg(content)
                     for fi in range(0, len(frames), every_k):
                         _fw, _fh, _c, px = decode_jpeg(frames[fi])
                         fd = hashlib.sha256(px).hexdigest()[:16]
-                        rows.append((int(mid), fi, fd))
+                        rows.append((int(mid), fi, None, None, fd))
                     continue
                 except (AviError, JpegError):
+                    pass  # corrupt: fall through to the stub path
+            if fmt == "mp4":
+                # REAL demux (round 6): stbl walk gives per-sample
+                # sizes (stsz), durations (stts) and file offsets
+                # (stsc+stco); the digest is over the ACTUAL sample
+                # bytes pulled from mdat — exactly what an ffmpeg-
+                # backed sampler would feed the codec. Only the H.264
+                # pixel decode of those bytes remains out of scope.
+                try:
+                    tbl = parse_mp4_sample_table(content)
+                    for fi in range(0, tbl.n_samples, every_k):
+                        payload = sample_payload(content, tbl, fi)
+                        fd = hashlib.sha256(payload).hexdigest()[:16]
+                        rows.append(
+                            (int(mid), fi, tbl.sizes[fi],
+                             tbl.sample_duration(fi), fd)
+                        )
+                    continue
+                except Mp4Error:
                     pass  # corrupt: fall through to the stub path
             d = decode_media(content, "video")
             # hash the payload ONCE per media row, then mix the frame
@@ -397,10 +430,13 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
             base = hashlib.sha256(content).digest()
             for fi in range(0, d["n_frames"], every_k):
                 fd = hashlib.sha256(base + fi.to_bytes(4, "big")).hexdigest()[:16]
-                rows.append((int(mid), fi, fd))
-        yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"]).astype(
-            {"frame_idx": "int32"}
-        )
+                rows.append((int(mid), fi, None, None, fd))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "frame_idx", "sample_size", "sample_dur",
+                     "frame_digest"],
+        ).astype({"frame_idx": "int32", "sample_size": "Int32",
+                  "sample_dur": "Int32"})
 
 
 def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
@@ -435,8 +471,15 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 #         gray JPEG frames, frame f's value = (d*7 + f*11 + 5) % 256 —
 #         container walk AND per-frame pixel decode are real; frame-0
 #         stats (16x8, pixel_sum = 128*v) are SQL-predictable
-#     d%9∈{4,7}: synthetic ftyp container, frame count 24+(d%7)*16
-#         (header-parse real; sample decode = documented stub, no ffmpeg)
+#     d%9∈{4,7}: REAL ISO-BMFF mp4 (functions/mp4.py, round 6) with
+#         n = 24+(d%7)*16 samples; stbl tables fully real and
+#         SQL-predictable: stsz size(i) = 20 + ((i*7 + d) % 32),
+#         stts runs [(n/2, 512 + d%3), (n/2, 1024)], one mdat chunk,
+#         sample i's payload byte j = (i + 3j + d) % 256 — so the
+#         sampler's per-sample size/duration columns are value-oracled
+#         and its digests are over the ACTUAL demuxed sample bytes.
+#         (H.264 pixel decode of those bytes remains the documented
+#         stub — needs ffmpeg; the demux layer is real.)
 #   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), n = strlen(text)//2
 #       samples of sample(i) = ((i*31 + d) % 201) - 100 → n_frames = n
 #       via real header parse, and min/max/sum-of-squares stats are
@@ -444,7 +487,28 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 _IMG_W = "CAST(16 + (doc_id % 5) * 4 AS INT)"
 _IMG_H = "CAST(12 + (doc_id % 7) * 4 AS INT)"
 _MP4_FRAMES_SQL = "(24 + (doc_id % 7) * 16)"
-_MP4_PREFIX = b"\x00\x00\x00\x18ftyp"
+
+
+def _mp4_sample_sizes(d: int) -> list[int]:
+    n = 24 + (d % 7) * 16
+    return [20 + ((i * 7 + d) % 32) for i in range(n)]
+
+
+def _mp4_stts_runs(d: int) -> list[tuple[int, int]]:
+    n = 24 + (d % 7) * 16
+    return [(n // 2, 512 + d % 3), (n - n // 2, 1024)]
+
+
+def _mp4_payload(d: int, sizes: list[int]) -> bytes:
+    return b"".join(
+        bytes((i + 3 * j + d) % 256 for j in range(s))
+        for i, s in enumerate(sizes)
+    )
+
+
+def _mp4_fixture(d: int) -> bytes:
+    sizes = _mp4_sample_sizes(d)
+    return build_mp4(sizes, _mp4_stts_runs(d), _mp4_payload(d, sizes))
 
 
 def _img_dims(d: int) -> tuple[int, int]:
@@ -504,8 +568,7 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         16, 8,
                     )
                 else:
-                    frames = 24 + (d % 7) * 16
-                    content = _MP4_PREFIX + struct.pack(">I", frames) + tb
+                    content = _mp4_fixture(d)
             else:
                 kind = "audio"
                 n = len(tb) // 2
@@ -645,7 +708,14 @@ def m3_thumbnail_pixels(spark, sf_dir):
 @register(
     "m2_video_frame_sample",
     f"""
-    SELECT doc_id AS media_id, CAST(16 * g.i AS INT) AS frame_idx
+    SELECT doc_id AS media_id, CAST(16 * g.i AS INT) AS frame_idx,
+           CASE WHEN doc_id % 9 <> 1 THEN
+             CAST(20 + ((16 * g.i * 7 + doc_id) % 32) AS INT)
+           END AS sample_size,
+           CASE WHEN doc_id % 9 <> 1 THEN
+             CAST(CASE WHEN 16 * g.i < {_MP4_FRAMES_SQL} // 2
+                  THEN 512 + doc_id % 3 ELSE 1024 END AS INT)
+           END AS sample_dur
     FROM documents CROSS JOIN generate_series(0, 7) g(i)
     WHERE doc_id % 3 = 1 AND doc_id < 300
       AND 16 * g.i < CASE WHEN doc_id % 9 = 1 THEN 2 + doc_id % 4
@@ -655,14 +725,18 @@ def m3_thumbnail_pixels(spark, sf_dir):
     "(mapInPandas fan-out batch shape). MJPEG-AVI rows (doc_id%9==1) "
     "are REAL sample decodes: the RIFF container walk yields JPEG "
     "frame streams, each entropy-decoded and digested over the actual "
-    "pixels; mp4 rows keep the header-parsed fan-out with the "
-    "documented digest stub (H.264 needs ffmpeg). The row set is "
-    "SQL-predicted from both containers' real frame counts; digests "
-    "(binary-dependent) stay engine-side under test_multimodal "
-    "determinism + known-pixel checks",
+    "pixels (per-frame sizes are entropy-coded → NULL columns, pinned "
+    "by pytest). mp4 rows (round 6) are REAL ISO-BMFF demuxes: the "
+    "stbl walk (stts/stsc/stsz/stco) yields per-sample sizes and "
+    "durations — both value-oracled here — plus actual mdat sample "
+    "bytes for the digests; only the H.264 pixel decode of those "
+    "bytes needs ffmpeg. Digests (binary-dependent) stay engine-side "
+    "under test_multimodal determinism + known-bytes checks",
 )
 def m2_video_frame_sample(spark, sf_dir):
     media = media_from_documents(
         load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     )
-    return sample_video_frames(media, every_k=16).select("media_id", "frame_idx")
+    return sample_video_frames(media, every_k=16).select(
+        "media_id", "frame_idx", "sample_size", "sample_dur"
+    )

@@ -24,6 +24,7 @@ from mistral_ocr_app_spark.functions.png import (
     parse_wav_header,
     resize_nearest,
 )
+from mistral_ocr_app_spark.functions.mp4 import build_mp4
 from mistral_ocr_app_spark.operators.multimodal import (
     decode_media,
     extract_media_features,
@@ -308,8 +309,12 @@ def test_decode_media_real_paths():
     assert (d["width"], d["height"]) == (33, 44) and d["pixel_sum"] is None
     d = decode_media(build_wav(b"x" * 10), "audio")
     assert d["format"] == "wav" and d["n_frames"] == 5 and not d["decoded"]
-    d = decode_media(b"\x00\x00\x00\x18ftyp" + struct.pack(">I", 40), "video")
+    mp4 = build_mp4([10] * 40, [(40, 512)])
+    d = decode_media(mp4, "video")
     assert d["format"] == "mp4" and d["n_frames"] == 40 and not d["decoded"]
+    # sniffs as mp4 but no parseable moov/stbl → honest n_frames = 1
+    d = decode_media(b"\x00\x00\x00\x18ftypmp42" + bytes(16), "video")
+    assert d["format"] == "mp4" and d["n_frames"] == 1 and not d["decoded"]
 
 
 # --------------------------------------------------------- Spark stages ---
@@ -442,6 +447,28 @@ def test_avi_real_frame_sample_decode(spark):
         expect_px = bytes([(d * 7 + 5) % 256]) * 128
         assert r["frame_digest"] == hashlib.sha256(expect_px).hexdigest()[:16]
         assert r["frame_idx"] == 0  # 2-5 frames, every_k=16 samples one
+        assert pd_isna(r["sample_size"]) and pd_isna(r["sample_dur"])
+
+
+def test_mp4_real_sample_demux(spark):
+    """mp4 rows (round 6): sampled digests are over the ACTUAL mdat
+    sample bytes located through the real stsc/stco/stsz mapping, and
+    sample_size/sample_dur carry the real stsz/stts values — verify
+    against the fixture synthesis formulas."""
+    import hashlib
+
+    frames = sample_video_frames(_media(spark), every_k=16).toPandas()
+    mp4 = frames[(frames["media_id"] % 3 == 1) & (frames["media_id"] % 9 != 1)]
+    assert len(mp4) > 0
+    for _, r in mp4.head(24).iterrows():
+        d, fi = int(r["media_id"]), int(r["frame_idx"])
+        n = 24 + (d % 7) * 16
+        assert r["sample_size"] == 20 + ((fi * 7 + d) % 32)
+        assert r["sample_dur"] == (512 + d % 3 if fi < n // 2 else 1024)
+        payload = bytes(
+            (fi + 3 * j + d) % 256 for j in range(int(r["sample_size"]))
+        )
+        assert r["frame_digest"] == hashlib.sha256(payload).hexdigest()[:16]
 
 
 def test_avi_container_roundtrip_and_fuzz():
