@@ -45,8 +45,13 @@ def main() -> int:
                     help="run the lineage fingerprint audit on the output "
                          "and exit (nonzero when any committed bucket's "
                          "bytes no longer match their recorded fingerprint)")
+    ap.add_argument("--auto-threshold", type=int, default=65_536,
+                    help="assemble_auto routing: conversations above this "
+                         "turn count take the chunked OOM-safe path, the "
+                         "rest the flat single-exchange path (0 = flat for "
+                         "all unless --chunk-size forces chunked)")
     ap.add_argument("--chunk-size", type=int, default=0,
-                    help="assemble hierarchically with this many turns per "
+                    help="force hierarchical assembly with this many turns per "
                          "chunk (bounds per-group memory for pathological "
                          "conversations; 0 = flat single-exchange assembly)")
     args = ap.parse_args()
@@ -62,6 +67,7 @@ def main() -> int:
     )
 
     from mistral_ocr_app_spark.operators.assemble import (
+        assemble_auto,
         assemble_conversations,
         assemble_conversations_chunked,
     )
@@ -103,11 +109,18 @@ def main() -> int:
     )
     if args.assemble:
         extracted = spark.read.parquet(f"{args.output}/data")
-        assembled = (
-            assemble_conversations_chunked(extracted, chunk_size=args.chunk_size)
-            if args.chunk_size > 0
-            else assemble_conversations(extracted)
-        )
+        # extracted is parquet-backed here, so assemble_auto's three
+        # traversals re-scan a columnar file, not the extraction UDF
+        if args.chunk_size > 0:
+            assembled = assemble_conversations_chunked(
+                extracted, chunk_size=args.chunk_size
+            )
+        elif args.auto_threshold > 0:
+            assembled = assemble_auto(
+                extracted, threshold_turns=args.auto_threshold
+            )
+        else:
+            assembled = assemble_conversations(extracted)
         write_markdown_sink(assembled, f"{args.output}/assembled")
     print(json.dumps(stats))
     spark.stop()

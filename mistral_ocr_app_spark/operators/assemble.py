@@ -196,6 +196,54 @@ def assemble_conversations_chunked(
     )
 
 
+def assemble_auto(
+    extracted: DataFrame,
+    threshold_turns: int = 65_536,
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """Route each conversation to the cheaper safe shape (round 6):
+
+    * conversations with ≤ ``threshold_turns`` turns take the FLAT
+      single-exchange path (``assemble_conversations`` — one shuffle,
+      one sort; the winner whenever the collect_list buffer fits)
+    * heavier conversations take the CHUNKED two-exchange path
+      (``assemble_conversations_chunked`` — no aggregation buffer ever
+      holds more than ``chunk_size`` structs, so a 10⁶-turn
+      conversation cannot OOM an executor)
+
+    The routing predicate is a cheap per-conv count (map-side partial
+    count, conv_id-only shuffle) whose heavy side is broadcast to both
+    branches: by construction it has at most ``total_turns /
+    threshold_turns`` rows, and with the 64 Ki default that is ~15 M
+    ids per 10¹² turns worst-case — in a corpus where such convs are
+    that common, call the chunked path directly instead. Default
+    threshold sits 16× above the chunk size and well under the measured
+    flat-OOM region (tests/memory_probe.py: a 2 M-turn conv needs
+    ~800 MB of heap flat, while 65 Ki structs stay in the tens of MB).
+
+    NOTE: ``extracted`` is traversed by both branches and the count —
+    call this on a materialized relation (the extract job's parquet
+    output, as ``jobs/extract_job.py`` does), not directly on the
+    mapInPandas extraction, or the extractor runs three times.
+
+    Output is identical to ``assemble_conversations`` for every
+    conversation (property-tested in test_assemble_chunked.py)."""
+    heavy = (
+        extracted.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold_turns)
+        .select("conv_id")
+    )
+    light_out = assemble_conversations(
+        extracted.join(F.broadcast(heavy), "conv_id", "left_anti")
+    )
+    heavy_out = assemble_conversations_chunked(
+        extracted.join(F.broadcast(heavy), "conv_id", "left_semi"),
+        chunk_size=chunk_size,
+    )
+    return light_out.unionByName(heavy_out)
+
+
 def with_turn_rank(extracted: DataFrame) -> DataFrame:
     """Row-preserving stable-ordering variant (W1/W2): row_number over
     (conv_id ORDER BY turn_idx)."""

@@ -6,6 +6,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from mistral_ocr_app_spark.operators.assemble import (
+    assemble_auto,
     assemble_conversations,
     assemble_conversations_chunked,
 )
@@ -72,6 +73,33 @@ def test_chunked_equals_flat_on_random_gapped_conversations(spark):
     for chunk_size in (1, 7, 64, 10_000):
         chunked = _sorted_pdf(assemble_conversations_chunked(df, chunk_size))
         pd.testing.assert_frame_equal(flat, chunked)
+    # auto-routing at thresholds that split the corpus every way —
+    # all-flat, mixed, all-chunked — must also be output-identical
+    for threshold in (0, 10, 25, 1_000):
+        auto = _sorted_pdf(assemble_auto(df, threshold_turns=threshold,
+                                         chunk_size=7))
+        pd.testing.assert_frame_equal(flat, auto)
+
+
+def test_auto_routes_heavy_convs_to_chunked(spark):
+    """The heavy conversation takes the chunked branch (its chunk agg
+    appears in the plan and the light/flat branch excludes it), while
+    output stays identical to flat."""
+    rows = [("light", i, f"l{i}") for i in range(10)]
+    rows += [("heavy", i, f"h{i}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+    auto = assemble_auto(df, threshold_turns=100, chunk_size=16)
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(assemble_conversations(df)), _sorted_pdf(auto)
+    )
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    # both shapes present: a chunk-keyed aggregate (chunked branch) and
+    # the broadcast-routed anti/semi joins
+    assert "FLOOR" in plan.upper() and "floor" in plan.lower()
+    assert plan.count("Join LeftAnti") == 1, plan
+    assert plan.count("Join LeftSemi") == 1, plan
 
 
 def test_gapped_turn_idx_headers_match_reference_semantics(spark):
