@@ -16,7 +16,10 @@ genuinely real:
 * ``parse_mp4_sample_table`` — real parse: bounded box walk (32-bit and
   64-bit largesize headers, unknown boxes skipped, every step must
   advance), container descent ``moov → trak → mdia → minf → stbl``,
-  then the stts/stsc/stsz/stco(co64) tables. Returns per-sample sizes,
+  then the stsd sample entry (codec fourcc + declared width/height —
+  a ``jpeg`` entry marks Motion-JPEG-in-MP4, whose sample payloads the
+  engine pixel-decodes with ``functions/jpeg.py``; round 6b) and the
+  stts/stsc/stsz/stco(co64) tables. Returns per-sample sizes,
   durations (stts runs expanded lazily via ``sample_duration``), and
   absolute file offsets computed through the real stsc chunk mapping —
   so ``sample_payload`` can hand back the actual sample bytes a
@@ -53,17 +56,43 @@ def _full_box(kind: bytes, body: bytes, version: int = 0) -> bytes:
     return _box(kind, struct.pack(">I", version << 24) + body)
 
 
+def _visual_sample_entry(codec: bytes, width: int, height: int) -> bytes:
+    """Real ISO 14496-12 §12.1.3 VisualSampleEntry: SampleEntry header
+    (6 reserved bytes + data_reference_index) then the visual fields.
+    ``codec`` is the 4-byte sample-entry fourcc (e.g. ``b"jpeg"`` for
+    Motion JPEG in MP4, ``b"avc1"`` for H.264)."""
+    if len(codec) != 4:
+        raise Mp4Error(f"sample-entry fourcc must be 4 bytes, got {codec!r}")
+    body = (
+        bytes(6) + struct.pack(">H", 1)          # reserved + data_ref_index
+        + struct.pack(">HH", 0, 0) + bytes(12)   # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x0048_0000, 0x0048_0000)  # 72 dpi fixed-point
+        + struct.pack(">I", 0)                   # reserved
+        + struct.pack(">H", 1)                   # frame_count
+        + bytes(32)                              # compressorname (pascal, empty)
+        + struct.pack(">Hh", 0x0018, -1)         # depth, pre_defined
+    )
+    return _box(codec, body)
+
+
 def build_mp4(
     sample_sizes: list[int],
     stts_runs: list[tuple[int, int]],
     payload: bytes | None = None,
     timescale: int = 90_000,
+    codec: bytes | None = None,
+    width: int = 0,
+    height: int = 0,
 ) -> bytes:
     """Minimal real mp4: samples with the given sizes live in one mdat
     chunk; ``stts_runs`` is a list of (sample_count, delta) duration
     runs that must cover exactly ``len(sample_sizes)`` samples.
     ``payload`` (default zeros) is the concatenated sample bytes and
-    must be ``sum(sample_sizes)`` long."""
+    must be ``sum(sample_sizes)`` long. When ``codec`` is given the
+    stsd carries a real VisualSampleEntry with that fourcc and
+    ``width``/``height`` (omitting it keeps the legacy empty stsd, so
+    pre-round-6b fixture bytes are unchanged)."""
     n = len(sample_sizes)
     if sum(c for c, _ in stts_runs) != n:
         raise Mp4Error("stts runs do not cover the sample count")
@@ -82,7 +111,13 @@ def build_mp4(
         struct.pack(">IIII", 0, 0, timescale,
                     sum(c * d for c, d in stts_runs)) + bytes(80),
     )
-    stsd = _full_box(b"stsd", struct.pack(">I", 0))
+    if codec is None:
+        stsd = _full_box(b"stsd", struct.pack(">I", 0))
+    else:
+        stsd = _full_box(
+            b"stsd",
+            struct.pack(">I", 1) + _visual_sample_entry(codec, width, height),
+        )
     stts = _full_box(
         b"stts",
         struct.pack(">I", len(stts_runs))
@@ -160,14 +195,20 @@ def _table(data: bytes, s: int, e: int, per_entry: int) -> tuple[int, int]:
 
 class SampleTable:
     """Parsed stbl: ``sizes[i]``, ``offsets[i]`` (absolute file offset
-    of sample i via the real stsc chunk mapping), ``stts_runs``."""
+    of sample i via the real stsc chunk mapping), ``stts_runs``, plus
+    the stsd sample-entry ``codec`` fourcc and its declared
+    ``width``/``height`` (all None for an entry-less stsd)."""
 
-    __slots__ = ("sizes", "offsets", "stts_runs")
+    __slots__ = ("sizes", "offsets", "stts_runs", "codec", "width", "height")
 
-    def __init__(self, sizes, offsets, stts_runs):
+    def __init__(self, sizes, offsets, stts_runs,
+                 codec=None, width=None, height=None):
         self.sizes = sizes
         self.offsets = offsets
         self.stts_runs = stts_runs
+        self.codec = codec
+        self.width = width
+        self.height = height
 
     @property
     def n_samples(self) -> int:
@@ -192,6 +233,20 @@ def parse_mp4_sample_table(data: bytes) -> SampleTable:
     for part in (b"trak", b"mdia", b"minf", b"stbl"):
         s, e = _find(data, s, e, part)
     stbl_s, stbl_e = s, e
+
+    # stsd — sample description: first entry's fourcc names the codec
+    # (the box kind IS the codec id in ISO-BMFF); a visual entry also
+    # declares width/height at fixed offsets past the SampleEntry
+    # header (6 reserved + data_ref_index) + 16 pre_defined/reserved
+    codec = sd_width = sd_height = None
+    s, e = _find(data, stbl_s, stbl_e, b"stsd")
+    count, pos = _table(data, s, e, 0)
+    if count >= 1:
+        for k, bs, be in _walk(data, pos, e):
+            codec = k.decode("ascii", "replace").strip()
+            if be - bs >= 28:
+                sd_width, sd_height = struct.unpack(">HH", data[bs + 24:bs + 28])
+            break
 
     # stts — duration runs
     s, e = _find(data, stbl_s, stbl_e, b"stts")
@@ -234,7 +289,7 @@ def parse_mp4_sample_table(data: bytes) -> SampleTable:
     stsc = [(raw[3 * i], raw[3 * i + 1]) for i in range(count)]
 
     offsets = _resolve_offsets(sizes, chunk_offsets, stsc, len(data))
-    return SampleTable(sizes, offsets, stts_runs)
+    return SampleTable(sizes, offsets, stts_runs, codec, sd_width, sd_height)
 
 
 def _resolve_offsets(

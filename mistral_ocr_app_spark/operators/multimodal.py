@@ -139,16 +139,6 @@ def parse_png_dims(content: bytes) -> tuple[int, int] | None:
     return None
 
 
-def parse_mp4_frame_count(content: bytes) -> int | None:
-    """REAL mp4 sample-count parse (round 6): box walk → moov → trak →
-    mdia → minf → stbl → stsz via ``functions/mp4.py``. Returns None
-    for files that sniff as mp4 but have no parseable sample table."""
-    try:
-        return parse_mp4_sample_table(content).n_samples
-    except Mp4Error:
-        return None
-
-
 def decode_media(content: bytes, kind: str) -> dict:
     """Best-real-effort media decode:
 
@@ -219,9 +209,21 @@ def decode_media(content: bytes, kind: str) -> dict:
         except (AviError, JpegError):
             n_frames = 1  # corrupt container/frame: honest fallback
     elif fmt == "mp4":
-        # real stbl walk (stsz sample count); unparseable → honest 1
-        parsed = parse_mp4_frame_count(content)
-        n_frames = parsed if parsed is not None else 1
+        # real stbl walk (stsz sample count); when the stsd entry names
+        # codec 'jpeg' (Motion JPEG in MP4) the first sample is a
+        # baseline-JPEG stream — REAL pixel decode, same as AVI above.
+        # Other codecs (avc1/hev1...) stay demux-only: ffmpeg absent.
+        try:
+            tbl = parse_mp4_sample_table(content)
+            n_frames = tbl.n_samples
+            if tbl.codec == "jpeg" and tbl.n_samples:
+                fw, fh, _ch, pixels = decode_jpeg(
+                    sample_payload(content, tbl, 0)
+                )
+                width, height, pixel_sum = fw, fh, sum(pixels)
+                decoded = True
+        except (Mp4Error, JpegError):
+            n_frames = 1  # corrupt container/sample: honest fallback
     elif fmt != "empty" and kind == "video":
         n_frames = 8 + int(digest[8:10], 16) % 120  # stub fallback
     elif fmt != "empty" and kind == "audio":
@@ -416,13 +418,21 @@ def _sample_frames(batches: Iterator[pd.DataFrame], every_k: int = 10) -> Iterat
                     tbl = parse_mp4_sample_table(content)
                     for fi in range(0, tbl.n_samples, every_k):
                         payload = sample_payload(content, tbl, fi)
-                        fd = hashlib.sha256(payload).hexdigest()[:16]
+                        if tbl.codec == "jpeg":
+                            # Motion-JPEG-in-MP4 (round 6b): the sample
+                            # IS a baseline-JPEG stream — digest the
+                            # actual decoded PIXELS, as for AVI; sizes/
+                            # durations stay the real stsz/stts values.
+                            _fw, _fh, _c, px = decode_jpeg(payload)
+                            fd = hashlib.sha256(px).hexdigest()[:16]
+                        else:
+                            fd = hashlib.sha256(payload).hexdigest()[:16]
                         rows.append(
                             (int(mid), fi, tbl.sizes[fi],
                              tbl.sample_duration(fi), fd)
                         )
                     continue
-                except Mp4Error:
+                except (Mp4Error, JpegError):
                     pass  # corrupt: fall through to the stub path
             d = decode_media(content, "video")
             # hash the payload ONCE per media row, then mix the frame
@@ -471,15 +481,21 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 #         gray JPEG frames, frame f's value = (d*7 + f*11 + 5) % 256 —
 #         container walk AND per-frame pixel decode are real; frame-0
 #         stats (16x8, pixel_sum = 128*v) are SQL-predictable
-#     d%9∈{4,7}: REAL ISO-BMFF mp4 (functions/mp4.py, round 6) with
+#     d%9==4: REAL ISO-BMFF mp4 (functions/mp4.py, round 6) with
 #         n = 24+(d%7)*16 samples; stbl tables fully real and
 #         SQL-predictable: stsz size(i) = 20 + ((i*7 + d) % 32),
 #         stts runs [(n/2, 512 + d%3), (n/2, 1024)], one mdat chunk,
 #         sample i's payload byte j = (i + 3j + d) % 256 — so the
 #         sampler's per-sample size/duration columns are value-oracled
-#         and its digests are over the ACTUAL demuxed sample bytes.
-#         (H.264 pixel decode of those bytes remains the documented
-#         stub — needs ffmpeg; the demux layer is real.)
+#     d%9==7: Motion-JPEG-in-MP4 (round 6b): stsd codec 'jpeg',
+#         2+(d%4) genuine baseline-JPEG samples (16x8 constant gray,
+#         the AVI frame formula), each padded past EOI to 512 bytes so
+#         stsz stays SQL-predictable; stts [(nf, 1500 + d%7)] — the
+#         engine demuxes AND pixel-decodes these, frame-0 stats and
+#         both sampler columns fully value-oracled; d%9==4's digests
+#         stay over the ACTUAL demuxed sample bytes (H.264-style pixel
+#         decode of arbitrary codecs remains the documented stub —
+#         needs ffmpeg; the demux layer is real)
 #   audio (doc_id%3==2): REAL PCM WAV (mono 16-bit), n = strlen(text)//2
 #       samples of sample(i) = ((i*31 + d) % 201) - 100 → n_frames = n
 #       via real header parse, and min/max/sum-of-squares stats are
@@ -509,6 +525,34 @@ def _mp4_payload(d: int, sizes: list[int]) -> bytes:
 def _mp4_fixture(d: int) -> bytes:
     sizes = _mp4_sample_sizes(d)
     return build_mp4(sizes, _mp4_stts_runs(d), _mp4_payload(d, sizes))
+
+
+MJPEG_MP4_SAMPLE_BYTES = 512
+
+
+def _mjpeg_mp4_fixture(d: int) -> bytes:
+    """Motion-JPEG-in-MP4 (round 6b): a real ISO-BMFF whose stsd names
+    codec ``jpeg`` and whose mdat samples are genuine baseline-JPEG
+    frames (16x8 constant gray v_f = (d*7 + f*11 + 5) % 256 — the AVI
+    fixture's formula, so the two containers share one oracle arm).
+    Each sample is zero-padded past EOI to a fixed 512 bytes, which is
+    both realistic (muxers pad samples) and what keeps stsz
+    SQL-predictable despite entropy coding."""
+    nf = 2 + d % 4
+    samples = []
+    for f in range(nf):
+        fr = encode_jpeg(16, 8, bytes([(d * 7 + f * 11 + 5) % 256]) * 128)
+        if len(fr) > MJPEG_MP4_SAMPLE_BYTES:
+            raise ValueError("constant-gray 16x8 frame exceeded pad size")
+        samples.append(fr + bytes(MJPEG_MP4_SAMPLE_BYTES - len(fr)))
+    return build_mp4(
+        [MJPEG_MP4_SAMPLE_BYTES] * nf,
+        [(nf, 1500 + d % 7)],
+        b"".join(samples),
+        codec=b"jpeg",
+        width=16,
+        height=8,
+    )
 
 
 def _img_dims(d: int) -> tuple[int, int]:
@@ -567,6 +611,8 @@ def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         ],
                         16, 8,
                     )
+                elif d % 9 == 7:
+                    content = _mjpeg_mp4_fixture(d)
                 else:
                     content = _mp4_fixture(d)
             else:
@@ -626,22 +672,22 @@ from .registry import load, register  # noqa: E402
              (CASE WHEN m.doc_id % 9 = 1 THEN 'avi' ELSE 'mp4' END)
            ELSE 'wav' END AS format,
       CASE WHEN m.doc_id % 3 = 0 THEN CAST(16 + (m.doc_id % 5) * 4 AS INT)
-           WHEN m.doc_id % 9 = 1 THEN 16 END AS width,
+           WHEN m.doc_id % 9 IN (1, 7) THEN 16 END AS width,
       CASE WHEN m.doc_id % 3 = 0 THEN CAST(12 + (m.doc_id % 7) * 4 AS INT)
-           WHEN m.doc_id % 9 = 1 THEN 8 END AS height,
+           WHEN m.doc_id % 9 IN (1, 7) THEN 8 END AS height,
       CAST(CASE WHEN m.doc_id % 3 = 0 THEN 1
-           WHEN m.doc_id % 9 = 1 THEN 2 + m.doc_id % 4
+           WHEN m.doc_id % 9 IN (1, 7) THEN 2 + m.doc_id % 4
            WHEN m.doc_id % 3 = 1 THEN 24 + (m.doc_id % 7) * 16
            ELSE nb // 2 END AS INT) AS n_frames,
       CAST(CASE WHEN m.doc_id % 9 = 6 THEN
              (16 + (m.doc_id % 5) * 4) * (12 + (m.doc_id % 7) * 4)
                * ((m.doc_id * 7 + 13) % 256)
-           WHEN m.doc_id % 9 = 1 THEN 128 * ((m.doc_id * 7 + 5) % 256)
+           WHEN m.doc_id % 9 IN (1, 7) THEN 128 * ((m.doc_id * 7 + 5) % 256)
            ELSE px.ps END AS BIGINT) AS pixel_sum,
       CAST(au.smin AS INT) AS sample_min,
       CAST(au.smax AS INT) AS sample_max,
       CAST(au.ssq AS BIGINT) AS sample_sumsq,
-      (m.doc_id % 3 = 0 OR m.doc_id % 9 = 1) AS decoded
+      (m.doc_id % 3 = 0 OR m.doc_id % 9 IN (1, 7)) AS decoded
     FROM m LEFT JOIN px ON m.doc_id = px.doc_id
            LEFT JOIN au ON m.doc_id = au.doc_id
     """,
@@ -654,7 +700,9 @@ from .registry import load, register  # noqa: E402
     "SQL predicts pixel_sum = w*h*v); WAV rows get real header frame "
     "counts plus exact 16-bit PCM sample stats (min/max/sum-of-"
     "squares) the series oracle predicts; mp4 frame counts from the "
-    "container header. Only video SAMPLE decode remains stubbed "
+    "real stbl walk, and Motion-JPEG mp4 rows (doc_id%9==7, stsd "
+    "codec 'jpeg') get REAL first-sample pixel decode like the AVI "
+    "rows. Only non-JPEG video codecs (H.264...) stay demux-only "
     "(ffmpeg absent).",
 )
 def m1_media_features(spark, sf_dir):
@@ -709,16 +757,18 @@ def m3_thumbnail_pixels(spark, sf_dir):
     "m2_video_frame_sample",
     f"""
     SELECT doc_id AS media_id, CAST(16 * g.i AS INT) AS frame_idx,
-           CASE WHEN doc_id % 9 <> 1 THEN
+           CASE WHEN doc_id % 9 = 7 THEN CAST(512 AS INT)
+                WHEN doc_id % 9 <> 1 THEN
              CAST(20 + ((16 * g.i * 7 + doc_id) % 32) AS INT)
            END AS sample_size,
-           CASE WHEN doc_id % 9 <> 1 THEN
+           CASE WHEN doc_id % 9 = 7 THEN CAST(1500 + doc_id % 7 AS INT)
+                WHEN doc_id % 9 <> 1 THEN
              CAST(CASE WHEN 16 * g.i < {_MP4_FRAMES_SQL} // 2
                   THEN 512 + doc_id % 3 ELSE 1024 END AS INT)
            END AS sample_dur
     FROM documents CROSS JOIN generate_series(0, 7) g(i)
     WHERE doc_id % 3 = 1 AND doc_id < 300
-      AND 16 * g.i < CASE WHEN doc_id % 9 = 1 THEN 2 + doc_id % 4
+      AND 16 * g.i < CASE WHEN doc_id % 9 IN (1, 7) THEN 2 + doc_id % 4
                           ELSE {_MP4_FRAMES_SQL} END
     """,
     "multimodal: frame sampling — 1 video row → n_frames/k frame rows "
@@ -727,11 +777,15 @@ def m3_thumbnail_pixels(spark, sf_dir):
     "frame streams, each entropy-decoded and digested over the actual "
     "pixels (per-frame sizes are entropy-coded → NULL columns, pinned "
     "by pytest). mp4 rows (round 6) are REAL ISO-BMFF demuxes: the "
-    "stbl walk (stts/stsc/stsz/stco) yields per-sample sizes and "
+    "stbl walk (stsd/stts/stsc/stsz/stco) yields per-sample sizes and "
     "durations — both value-oracled here — plus actual mdat sample "
-    "bytes for the digests; only the H.264 pixel decode of those "
-    "bytes needs ffmpeg. Digests (binary-dependent) stay engine-side "
-    "under test_multimodal determinism + known-bytes checks",
+    "bytes for the digests. Motion-JPEG mp4 rows (doc_id%9==7, round "
+    "6b) go one further: the stsd names codec 'jpeg', so each sampled "
+    "payload is entropy-decoded and digested over actual PIXELS, with "
+    "stsz still oracled (samples padded to a fixed 512 bytes, as real "
+    "muxers do); only non-JPEG codecs (H.264...) need ffmpeg. Digests "
+    "(binary-dependent) stay engine-side under test_multimodal "
+    "determinism + known-bytes checks",
 )
 def m2_video_frame_sample(spark, sf_dir):
     media = media_from_documents(

@@ -161,3 +161,57 @@ def test_mp4_single_byte_mutation_never_crashes(pos, val):
             assert isinstance(t.sample_duration(i), int)
     except Mp4Error:
         pass  # documented containment path
+
+
+def test_mp4_stsd_codec_roundtrip():
+    """Round 6b: a codec-bearing build writes a real VisualSampleEntry
+    (fourcc + declared dims) that the parser reads back; the legacy
+    entry-less stsd still parses with codec None."""
+    data = build_mp4(
+        [8, 8], [(2, 3000)], bytes(16), codec=b"jpeg", width=640, height=480
+    )
+    t = parse_mp4_sample_table(data)
+    assert (t.codec, t.width, t.height) == ("jpeg", 640, 480)
+    legacy = parse_mp4_sample_table(build_mp4([8], [(1, 100)]))
+    assert legacy.codec is None and legacy.width is None
+    with pytest.raises(Mp4Error, match="fourcc"):
+        build_mp4([8], [(1, 100)], codec=b"toolong")
+
+
+def test_mp4_stsd_short_entry_dims_none():
+    """An stsd entry too short for the visual fields yields the codec
+    fourcc but no dims — lenient on real-world audio/short entries."""
+    from mistral_ocr_app_spark.functions.mp4 import _box, _full_box
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = _box(b"mdat", bytes(8))
+    stbl = _box(
+        b"stbl",
+        _full_box(b"stsd", struct.pack(">I", 1) + _box(b"mp4a", bytes(8)))
+        + _full_box(b"stts", struct.pack(">III", 1, 1, 512))
+        + _full_box(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+        + _full_box(b"stsz", struct.pack(">III", 0, 1, 8))
+        + _full_box(b"stco", struct.pack(">II", 1, 32))
+    )
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", _box(b"minf", stbl))))
+    t = parse_mp4_sample_table(ftyp + mdat + moov)
+    assert t.codec == "mp4a" and t.width is None and t.height is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(pos=st.integers(0, 5_000), val=st.integers(0, 255))
+def test_mp4_codec_file_mutation_never_crashes(pos, val):
+    """Same mutation contract over a codec-bearing file: the stsd walk
+    must contain corruption like every other table."""
+    base = build_mp4(
+        [12, 7, 31, 24], [(2, 512), (2, 1024)],
+        bytes(range(74)), codec=b"jpeg", width=16, height=8,
+    )
+    data = bytearray(base)
+    data[pos % len(data)] = val
+    try:
+        t = parse_mp4_sample_table(bytes(data))
+        assert isinstance(t, SampleTable)
+        assert t.codec is None or isinstance(t.codec, str)
+    except Mp4Error:
+        pass  # documented containment path

@@ -355,17 +355,22 @@ def test_feature_extraction_real_decode(spark):
             )
     vid = pdf[pdf["kind"] == "video"]
     avi = vid["media_id"] % 9 == 1
+    mjp4 = vid["media_id"] % 9 == 7  # Motion-JPEG-in-MP4 (round 6b)
+    raw4 = ~avi & ~mjp4
     assert (vid.loc[avi, "format"] == "avi").all()
     assert (vid.loc[~avi, "format"] == "mp4").all()
-    # MJPEG AVI rows: real container parse + real frame-0 pixel decode
-    assert (vid.loc[avi, "n_frames"] == 2 + vid.loc[avi, "media_id"] % 4).all()
-    assert vid.loc[avi, "decoded"].all()
+    # MJPEG rows (AVI container AND mp4 container): real container
+    # parse + real frame-0 pixel decode of the shared constant frames
+    assert (vid.loc[avi | mjp4, "n_frames"]
+            == 2 + vid.loc[avi | mjp4, "media_id"] % 4).all()
+    assert vid.loc[avi | mjp4, "decoded"].all()
     assert (
-        vid.loc[avi, "pixel_sum"]
-        == 128 * ((vid.loc[avi, "media_id"] * 7 + 5) % 256)
+        vid.loc[avi | mjp4, "pixel_sum"]
+        == 128 * ((vid.loc[avi | mjp4, "media_id"] * 7 + 5) % 256)
     ).all()
-    assert (vid.loc[~avi, "n_frames"]
-            == 24 + (vid.loc[~avi, "media_id"] % 7) * 16).all()
+    assert (vid.loc[raw4, "n_frames"]
+            == 24 + (vid.loc[raw4, "media_id"] % 7) * 16).all()
+    assert (~vid.loc[raw4, "decoded"]).all()  # demux-only: no codec
     aud = pdf[pdf["kind"] == "audio"]
     assert (aud["format"] == "wav").all()
     assert (aud["n_frames"] >= 0).all()  # octet_length(text) // 2
@@ -458,7 +463,7 @@ def test_mp4_real_sample_demux(spark):
     import hashlib
 
     frames = sample_video_frames(_media(spark), every_k=16).toPandas()
-    mp4 = frames[(frames["media_id"] % 3 == 1) & (frames["media_id"] % 9 != 1)]
+    mp4 = frames[frames["media_id"] % 9 == 4]
     assert len(mp4) > 0
     for _, r in mp4.head(24).iterrows():
         d, fi = int(r["media_id"]), int(r["frame_idx"])
@@ -469,6 +474,25 @@ def test_mp4_real_sample_demux(spark):
             (fi + 3 * j + d) % 256 for j in range(int(r["sample_size"]))
         )
         assert r["frame_digest"] == hashlib.sha256(payload).hexdigest()[:16]
+
+
+def test_mjpeg_mp4_real_pixel_decode(spark):
+    """Motion-JPEG-in-MP4 rows (round 6b, doc_id%9==7): the stsd names
+    codec 'jpeg', so the sampled digest is over REAL decoded pixels
+    (like AVI) while sample_size/sample_dur stay the real — and
+    oracle-predictable — stsz/stts values (samples padded to 512)."""
+    import hashlib
+
+    frames = sample_video_frames(_media(spark), every_k=16).toPandas()
+    mjp4 = frames[frames["media_id"] % 9 == 7]
+    assert len(mjp4) > 0
+    for _, r in mjp4.head(8).iterrows():
+        d = int(r["media_id"])
+        assert r["frame_idx"] == 0  # 2-5 frames, every_k=16 samples one
+        assert r["sample_size"] == 512
+        assert r["sample_dur"] == 1500 + d % 7
+        expect_px = bytes([(d * 7 + 5) % 256]) * 128
+        assert r["frame_digest"] == hashlib.sha256(expect_px).hexdigest()[:16]
 
 
 def test_avi_container_roundtrip_and_fuzz():
