@@ -232,6 +232,48 @@ def extract_docx_spans(docs: DataFrame, content_col: str = "content") -> DataFra
     )
 
 
+@F.pandas_udf(T.ArrayType(SPAN_STRUCT))
+def parse_document_bytes_udf(blob: pd.Series) -> pd.Series:
+    """Format-routing S4: sniff each payload's magic bytes and dispatch
+    to the matching byte-level parser — ``%PDF-`` → ``functions/pdf.py``,
+    ZIP local-file header (``PK\\x03\\x04``, the DOCX container) →
+    ``functions/docx.py``. A mixed corpus of the reference's document
+    formats (app.py:46 allow-list) extracts in ONE pass with no
+    per-format pre-split. Unknown formats and malformed payloads yield
+    an empty span list (containment), never a task failure."""
+    from ..functions import docx as docxmod
+    from ..functions import pdf as pdfmod
+
+    def _parse(b) -> list[dict]:
+        if b is None:
+            return []
+        b = bytes(b)
+        try:
+            if b.startswith(b"%PDF-"):
+                return pdfmod.parse_pdf_spans(b)
+            if b.startswith(b"PK\x03\x04"):
+                return docxmod.parse_docx_spans(b)
+        except (pdfmod.PdfError, docxmod.DocxError):
+            pass
+        return []
+
+    return blob.map(_parse)
+
+
+def extract_document_spans(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, <binary column of mixed PDF/DOCX payloads>) → one row
+    per span, ordered by (doc_id, page, span_idx): the single-pass
+    mixed-format router over ``extract_pdf_spans`` /
+    ``extract_docx_spans`` (equality-tested against both)."""
+    return (
+        docs.select(
+            "doc_id", parse_document_bytes_udf(F.col(content_col)).alias("spans")
+        )
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
 _DOCX_RT_STRUCT = T.StructType(
     [
         T.StructField("n_paras", T.IntegerType()),

@@ -162,3 +162,34 @@ def test_spark_docx_span_fanout(spark):
     assert list(out["y0"]) == [0.0, LINE_HEIGHT, LINE_HEIGHT, 0.0]
     assert out["kind"].eq("docx").all()
     assert out["page"].eq(0).all()
+
+
+def test_spark_mixed_document_router(spark):
+    """extract_document_spans routes a MIXED pdf/docx binary column by
+    magic bytes in one pass — row-identical to running the per-format
+    extractors on the pre-split corpus."""
+    import pandas as pd
+    from mistral_ocr_app_spark.functions.pdf import build_pdf
+    from mistral_ocr_app_spark.operators.extract import (
+        extract_document_spans,
+        extract_docx_spans,
+        extract_pdf_spans,
+    )
+
+    rows = [
+        (0, build_pdf([[{"text": "pdf span", "x0": 72, "y0": 700}]])),
+        (1, build_docx(["docx para", ["two ", "runs"]])),
+        (2, b"neither format"),   # contained: zero rows
+        (3, None),                # NULL payload: zero rows
+        (4, b"PK\x03\x04 but not a real zip"),  # sniffs docx, contained
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    got = extract_document_spans(df).toPandas().sort_values(
+        ["doc_id", "page", "span_idx"]
+    ).reset_index(drop=True)
+    want = pd.concat([
+        extract_pdf_spans(df.filter("doc_id = 0")).toPandas(),
+        extract_docx_spans(df.filter("doc_id = 1")).toPandas(),
+    ]).sort_values(["doc_id", "page", "span_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["kind"]) == {"pdf", "docx"}
