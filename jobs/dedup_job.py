@@ -54,8 +54,12 @@ def exact_pairs(docs):
 DEFAULT_MAX_BUCKET = 1000  # LSH bucket-membership ceiling (see below)
 
 
+DEFAULT_SALT_THRESHOLD = 64  # grid-salt buckets heavier than this
+
+
 def near_dup_pairs(docs, jaccard_threshold: float = 0.8,
-                   max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
+                   max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                   salt_threshold: int | None = DEFAULT_SALT_THRESHOLD):
     """LSH candidates (guarded) → Jaccard-verified near-dup pairs.
 
     Production path: xxhash64 base hash (~4× cheaper than the
@@ -63,7 +67,9 @@ def near_dup_pairs(docs, jaccard_threshold: float = 0.8,
     mega-bucket guard — a stopword-like (band, bucket) with k members
     emits O(k²) candidate pairs that the verify step must process even
     though AQE spreads the join itself; buckets over ``max_bucket_size``
-    are dropped and returned for the job stats (no silent caps).
+    are dropped and returned for the job stats (no silent caps), and
+    merely-heavy buckets (over ``salt_threshold``) are enumerated on the
+    grid-salt lattice — identical pair set, bounded task size.
 
     Verification: true token-set Jaccard computed on candidates only —
     the d3 expression, linear in |candidates|, no quadratic self-join.
@@ -76,7 +82,8 @@ def near_dup_pairs(docs, jaccard_threshold: float = 0.8,
     )
 
     bands = lsh_bands(minhash_signatures(docs, portable=False))
-    cand, dropped = lsh_candidate_pairs(bands, max_bucket_size)
+    cand, dropped = lsh_candidate_pairs(bands, max_bucket_size,
+                                        salt_threshold=salt_threshold)
     toks = docs.select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("tok")
     )

@@ -355,8 +355,62 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _self_join_pairs(bands: DataFrame) -> DataFrame:
+    """Plain hinted SMJ self-join on (band, bucket) → ordered doc pairs
+    (pre-``distinct``)."""
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
+def _grid_salted_pairs(bands: DataFrame, grid: int) -> DataFrame:
+    """Heavy-bucket pair enumeration on a ``grid × grid`` salt lattice.
+
+    A bucket of k members emits k²/2 pairs; AQE's skew-join can split
+    the JOIN's input partitions but every pair of one bucket still
+    carries the same (band, bucket) key, so one reducer ultimately
+    streams O(k²) output rows. The standard fix (e.g. the triangle-
+    enumeration literature and Spark skew-salting folklore) is a 2-D
+    block decomposition: each doc gets a deterministic salt
+    i = xxhash64(doc_id) % grid; the LEFT side replicates each row
+    across blocks (i, j) for all j, the RIGHT side across (i, j) for
+    all i, and the join key becomes (band, bucket, i, j). An unordered
+    pair (x, y) meets in exactly ONE block — (salt(x), salt(y)) — so
+    the pair set is IDENTICAL to the plain self-join (equality-tested),
+    while a hot bucket's expansion spreads over grid² independent
+    reducer keys: max task work drops k²→(k/grid)² for grid× row
+    replication per side. Salting is deterministic (no rand()), so
+    resume/retry re-derive the same plan."""
+    s = F.lit(grid)
+    grid_seq = F.sequence(F.lit(0), F.lit(grid - 1))
+    salted = bands.withColumn(
+        "i", F.pmod(F.xxhash64(F.col("doc_id")), s).cast("int")
+    )
+    left = salted.withColumn("j", F.explode(grid_seq))
+    right = (
+        salted.withColumnRenamed("i", "j")
+        .withColumn("i", F.explode(grid_seq))
+    )
+    a, b = left.alias("a"), right.hint("merge").alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
 def lsh_candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = None
+    bands: DataFrame,
+    max_bucket_size: int | None = None,
+    salt_threshold: int | None = None,
+    salt_grid: int = 8,
 ) -> tuple[DataFrame, DataFrame | None]:
     """(band, bucket) self-join → distinct candidate pairs (doc_a < doc_b).
 
@@ -365,6 +419,20 @@ def lsh_candidate_pairs(
     10^12 scale — and a groupBy+pair-expansion concentrates each
     mega-bucket's k²/2 pairs into one task (measured 3× slower). SMJ
     streams pairs and AQE skew-join splits hot (band, bucket) partitions.
+
+    ``salt_threshold``: buckets with more members than this are
+    enumerated on a ``salt_grid²`` block lattice (``_grid_salted_pairs``)
+    instead of the plain self-join — same pair set, but a hot bucket's
+    quadratic expansion spreads across grid² reducer keys instead of
+    one. Measured at sf0.1: four stopword-ish buckets of 2.3-2.6k docs
+    emit ~12M of 12.3M total pairs; unsalted they serialize into four
+    tasks (task-skew p100/p50 ≈ 18). The heavy/light split is a
+    broadcast semi/anti join on the heavy-key set — worst-case
+    ``n_docs * LSH_BANDS / salt_threshold`` rows but in practice the
+    skew tail (a handful of stopword-ish buckets); if a corpus ever
+    produced a heavy-key set too big to broadcast, dropping the
+    ``F.broadcast`` wrap degrades both splits to shuffle semi/anti
+    joins on the same key with an unchanged pair set.
 
     ``max_bucket_size``: ceiling on bucket membership. AQE spreads a hot
     bucket's JOIN across tasks, but a stopword-like bucket with k members
@@ -378,6 +446,11 @@ def lsh_candidate_pairs(
     its counts (no silent caps); ``None`` when no ceiling was set.
     The dropped relation is broadcast for the anti-join: it has at most
     ``n_docs * LSH_BANDS / max_bucket_size`` rows by construction.
+
+    The two compose as a layered policy: drop the truly pathological
+    buckets (k > max_bucket_size — near-zero selectivity), salt the
+    merely-heavy ones (salt_threshold < k ≤ max_bucket_size — real
+    candidates, bounded task size).
     """
     dropped = None
     if max_bucket_size is not None:
@@ -388,19 +461,20 @@ def lsh_candidate_pairs(
             ["band", "bucket"],
             "left_anti",
         )
-    a, b = bands.alias("a"), bands.hint("merge").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if salt_threshold is None:
+        pairs = _self_join_pairs(bands).distinct()
+    else:
+        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("k"))
+        heavy_keys = sizes.filter(F.col("k") > salt_threshold).select(
+            "band", "bucket"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        light = bands.join(F.broadcast(heavy_keys), ["band", "bucket"], "left_anti")
+        heavy = bands.join(F.broadcast(heavy_keys), ["band", "bucket"], "left_semi")
+        pairs = (
+            _self_join_pairs(light)
+            .unionByName(_grid_salted_pairs(heavy, salt_grid))
+            .distinct()
         )
-        .distinct()
-    )
     return pairs, dropped
 
 
@@ -430,10 +504,12 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
     # no bucket ceiling here: the catalog query is the raw-candidate
     # demo the oracle reproduces exactly; the production path
     # (jobs/dedup_job.py) applies the mega-bucket guard and surfaces
-    # its dropped-bucket counts in the job stats.
+    # its dropped-bucket counts in the job stats. Grid salting IS on:
+    # it changes the physical spread of heavy buckets, never the pair
+    # set, so the oracle match itself proves the lattice enumeration.
     docs = load(spark, sf_dir, "documents")
     bands = lsh_bands(minhash_signatures(docs))
-    pairs, _ = lsh_candidate_pairs(bands)
+    pairs, _ = lsh_candidate_pairs(bands, salt_threshold=64, salt_grid=8)
     return pairs
 
 

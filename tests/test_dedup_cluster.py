@@ -154,6 +154,71 @@ def test_lsh_guard_is_noop_on_normal_corpus(spark):
     assert capped.subtract(uncapped).count() == 0
 
 
+def test_grid_salting_preserves_pair_set_adversarial(spark):
+    """Grid salting changes only the PHYSICAL spread of a heavy bucket's
+    quadratic expansion — the candidate pair set must be identical.
+    Adversarial corpus: the 200-clone mega-bucket is far above the salt
+    threshold (heavy path), the unique tail sits below it (light path),
+    so both branches of the union are exercised in one run."""
+    from mistral_ocr_app_spark.operators.corpus import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _adversarial_docs(spark, n_clones=80, n_unique=30)
+    bands = lsh_bands(minhash_signatures(docs, portable=False))
+
+    plain, _ = lsh_candidate_pairs(bands)
+    salted, _ = lsh_candidate_pairs(bands, salt_threshold=16, salt_grid=4)
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
+    # the heavy path genuinely ran: the clone bucket alone yields
+    # 80*79/2 pairs, all of which must survive the lattice enumeration
+    assert salted.count() >= 80 * 79 // 2
+
+
+def test_grid_salting_preserves_pair_set_real_corpus(spark):
+    """Same equality on the driver testdata with the production defaults
+    (threshold 64, grid 8), plus grid=1 degenerating to the plain join."""
+    from mistral_ocr_app_spark.operators.corpus import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bands = lsh_bands(minhash_signatures(docs, portable=False))
+    plain, _ = lsh_candidate_pairs(bands)
+    salted, _ = lsh_candidate_pairs(bands, salt_threshold=64, salt_grid=8)
+    degenerate, _ = lsh_candidate_pairs(bands, salt_threshold=64, salt_grid=1)
+    for variant in (salted, degenerate):
+        assert plain.subtract(variant).count() == 0
+        assert variant.subtract(plain).count() == 0
+
+
+def test_grid_salting_composes_with_bucket_ceiling(spark):
+    """Layered policy: drop k > max_bucket_size, salt
+    salt_threshold < k <= max_bucket_size. With a ceiling under the clone
+    bucket, the salted and plain guarded outputs must still agree (the
+    mega-bucket is dropped BEFORE the salt split sees it)."""
+    from mistral_ocr_app_spark.operators.corpus import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _adversarial_docs(spark, n_clones=80, n_unique=30)
+    bands = lsh_bands(minhash_signatures(docs, portable=False))
+    plain, dropped_a = lsh_candidate_pairs(bands, max_bucket_size=50)
+    salted, dropped_b = lsh_candidate_pairs(
+        bands, max_bucket_size=50, salt_threshold=4, salt_grid=4
+    )
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
+    assert dropped_a.count() == dropped_b.count() > 0
+
+
 def test_dedup_job_guard_end_to_end(spark):
     """With the guard dropping the clone mega-bucket, the exact-dup path
     still collapses the clones into one cluster — verified pairs change

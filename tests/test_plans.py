@@ -92,13 +92,19 @@ def test_whole_stage_codegen_in_scalar_queries(spark):
 
 
 def test_lsh_self_join_is_sort_merge_not_broadcast(spark):
-    """d4's bands⋈bands self-join must stay a sort-merge join: under
+    """d4's bands⋈bands pair self-joins must stay sort-merge joins: under
     small local stats Catalyst would broadcast the UNBOUNDED bands
     relation — a plan shape that cannot exist at 10^12 scale — and
-    re-evaluate the minhash subtree on both sides."""
+    re-evaluate the minhash subtree on both sides. The only broadcasts
+    allowed are the LeftSemi/LeftAnti heavy-bucket splits on the
+    size-bounded heavy-key relation (grid salting)."""
     plan = _plan(Q["d4_minhash_lsh_candidates"](spark, SF_DIR))
     assert "SortMergeJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftSemi" in line or "LeftAnti" in line, line
+    # neither pair join (light plain, heavy lattice) fell back to broadcast
+    assert plan.count("SortMergeJoin") == 2
 
 
 def test_bucketed_join_is_shuffle_free(spark, fixture_paths):
