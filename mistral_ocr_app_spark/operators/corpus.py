@@ -424,9 +424,12 @@ def lsh_candidate_pairs(
     enumerated on a ``salt_grid²`` block lattice (``_grid_salted_pairs``)
     instead of the plain self-join — same pair set, but a hot bucket's
     quadratic expansion spreads across grid² reducer keys instead of
-    one. Measured at sf0.1: four stopword-ish buckets of 2.3-2.6k docs
-    emit ~12M of 12.3M total pairs; unsalted they serialize into four
-    tasks (task-skew p100/p50 ≈ 18). The heavy/light split is a
+    one. Measured at sf0.1: 32 buckets exceed 64 members and carry
+    11.49M of the 11.55M pre-distinct pairs, the top four (stopword-ish,
+    2.1-2.7k docs each) alone ~10.7M — unsalted, those four serialize
+    into four tasks. End-to-end candidate generation (warm, best-of-3,
+    local[32], sf0.1): 1.85 s salted vs 2.49 s unsalted, despite the
+    extra bucket-size pass. The heavy/light split is a
     broadcast semi/anti join on the heavy-key set — worst-case
     ``n_docs * LSH_BANDS / salt_threshold`` rows but in practice the
     skew tail (a handful of stopword-ish buckets); if a corpus ever
