@@ -193,6 +193,7 @@ def incremental_edges(
     state_dir: str,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    salt_threshold: int | None = DEFAULT_SALT_THRESHOLD,
 ):
     """Edges linking the new batch to itself and to committed CANONICAL
     ids — the contracted-graph formulation: every committed endpoint is
@@ -203,7 +204,13 @@ def incremental_edges(
     Committed signatures/digests come from the state store; minhash is
     computed ONLY over the new batch. ``committed_docs`` is consulted
     once, to verify Jaccard on candidate partners (a join, so the scan
-    is pruned to candidate rows' columns)."""
+    is pruned to candidate rows' columns).
+
+    Skew policy mirrors the full-corpus path: new-new candidates use the
+    grid-salted self-join (``salt_threshold``); the new x committed
+    equi-join needs no lattice because the combined mega-bucket guard
+    already caps per-bucket expansion at k_n * k_c < max_bucket_size^2
+    rows streamed by the hinted SMJ with AQE skew-split."""
     from mistral_ocr_app_spark.operators.corpus import (
         lsh_bands,
         minhash_signatures,
@@ -254,7 +261,8 @@ def incremental_edges(
         )
     from mistral_ocr_app_spark.operators.corpus import lsh_candidate_pairs
 
-    nn_cand, _ = lsh_candidate_pairs(new_bands, None)
+    nn_cand, _ = lsh_candidate_pairs(new_bands, None,
+                                     salt_threshold=salt_threshold)
     nc_cand = (
         new_bands.join(
             state_bands.select(
