@@ -603,11 +603,23 @@ def run_hunt() -> dict:
     budget_min = float(os.environ.get("SPARK_GRAFT_HUNT_BUDGET_MIN", "180"))
     sleep_s = float(os.environ.get("SPARK_GRAFT_HUNT_SLEEP", "360"))
     force_every = int(os.environ.get("SPARK_GRAFT_HUNT_FORCE_EVERY", "5"))
-    best_score = float(os.environ.get("SPARK_GRAFT_HUNT_INCUMBENT", "0.749"))
-    deadline = time.time() + budget_min * 60
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hunt_log = os.path.join(REPO, "BENCH", "hunt_log.jsonl")
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    incumbent_path = os.path.join(REPO, "BENCH", "incumbent.json")
+    # Incumbent score the keep-or-revert gate defends. Priority: explicit
+    # env override > the persisted record sidecar (written on every keep)
+    # > a conservative floor. A stale hard-coded default here once nearly
+    # let a 0.76-score run clobber the 0.855/0.889 kept record.
+    env_inc = os.environ.get("SPARK_GRAFT_HUNT_INCUMBENT")
+    if env_inc is not None:
+        best_score = float(env_inc)
+    elif os.path.exists(incumbent_path):
+        with open(incumbent_path) as f:
+            best_score = float(json.load(f)["score"])
+    else:
+        best_score = 0.749
+    deadline = time.time() + budget_min * 60
     best_summary: dict | None = None
     n_probes = 0
 
@@ -639,6 +651,10 @@ def run_hunt() -> dict:
         keep = score > best_score
         if keep:
             best_score, best_summary = score, summary
+            with open(incumbent_path, "w") as f:
+                json.dump({"score": score, "extract_eff": ext_eff,
+                           "assembly_eff": asm_eff, "t": round(time.time())},
+                          f)
         elif snapshot is not None:
             with open(baseline_path, "w") as f:
                 f.write(snapshot)  # revert: incumbent record was better
