@@ -5,6 +5,10 @@ Chains the engine's text-analysis operators (operators/corpus.py
 c-family, all JVM-side column expressions) into the filter pass a
 training-data pipeline runs between dedup and training:
 
+  * exact-substring dedup     (optional --strip-dup-windows W: remove
+                               non-canonical duplicated W-token windows
+                               corpus-wide BEFORE gating, Lee-et-al-style
+                               — operators/substring_dedup.py)
   * token/length gates        (c1 semantics: whitespace token count)
   * stopword-ratio band       (c2: boilerplate/gibberish both fail it)
   * mean-token-length band    (c2: code dumps / minified junk fail high)
@@ -79,6 +83,23 @@ def quality_flags(
     )
 
 
+def apply_substring_dedup(docs: DataFrame, width: int) -> DataFrame:
+    """Exact-substring dedup stage (Lee-et-al-style): strip every token
+    covered by a non-canonical duplicated ``width``-token window, so the
+    quality gates below score the *deduplicated* text. The original text
+    survives as ``text_raw`` (rejects are a QA surface; reviewers need
+    to see what was cut)."""
+    from mistral_ocr_app_spark.operators.substring_dedup import (
+        strip_duplicate_windows,
+    )
+
+    return (
+        strip_duplicate_windows(docs, width=width, out_col="_text_dedup")
+        .withColumnRenamed("text", "text_raw")
+        .withColumnRenamed("_text_dedup", "text")
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -87,6 +108,11 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--stopword-band", type=float, nargs=2, default=(0.05, 0.6))
     ap.add_argument("--langs", nargs="+", default=["latin-en", "latin-es"])
+    ap.add_argument(
+        "--strip-dup-windows", type=int, default=0, metavar="W",
+        help="exact-substring dedup before gating: remove non-canonical "
+        "duplicated W-token windows corpus-wide (0 = off)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -95,6 +121,8 @@ def main() -> int:
         .getOrCreate()
     )
     docs = spark.read.parquet(args.input)
+    if args.strip_dup_windows:
+        docs = apply_substring_dedup(docs, args.strip_dup_windows)
     flagged = quality_flags(
         docs,
         min_tokens=args.min_tokens,

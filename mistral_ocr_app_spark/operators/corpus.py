@@ -60,26 +60,71 @@ _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 _BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal quoting
 
 
+#: token-window width for the exact-substring dedup columns on c1
+SUBSTR_W = 10
+
+
 @register(
     "c1_token_count",
     f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(lower(text), ' '),
+                            x -> {_SQL_H.format(t='x')}) AS hs
+      FROM documents),
+    occ AS (
+      SELECT doc_id, g.i AS pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), hs[g.i + 1 : g.i + 10]),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647) * 2147483648
+             + list_reduce(
+               list_prepend(CAST(0 AS BIGINT), hs[g.i + 1 : g.i + 10]),
+               (acc, h) -> (acc * 1000033 + h) % 2147483647) AS wh
+      FROM t CROSS JOIN generate_series(0, 127) g(i)
+      WHERE g.i <= len(hs) - 10),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY wh) AS cnt,
+             min(doc_id * 1048576 + pos) OVER (PARTITION BY wh) AS mink
+      FROM occ),
+    sd AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_windows,
+             CAST(sum(CASE WHEN cnt > 1 AND doc_id * 1048576 + pos <> mink
+                           THEN 1 ELSE 0 END) AS INT) AS n_dup_windows,
+             list_sort(list(CAST(pos AS INT))
+                       FILTER (WHERE cnt > 1
+                               AND doc_id * 1048576 + pos <> mink))
+               AS dup_positions
+      FROM marked GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
              AS n_distinct_tokens,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
-           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS INT) AS n_words,
-           CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INT) AS n_numbers
-    FROM documents WHERE doc_id < 400
+           CAST(len(regexp_extract_all(d.text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
+           CAST(len(regexp_extract_all(d.text, ' ?[A-Za-z]+')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(d.text, ' ?[0-9]+')) AS INT) AS n_numbers,
+           COALESCE(sd.n_windows, 0) AS n_windows,
+           COALESCE(sd.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(array_to_string(sd.dup_positions, ','), '') AS dup_positions
+    FROM documents d LEFT JOIN sd USING (doc_id)
+    WHERE d.doc_id < 400
     """,
     "token counting over documents — whitespace tokenizer AND the "
     "BPE-ish regex pretokenizer (contractions / word runs / number runs "
-    "/ punctuation runs; lookahead-free so Java and RE2 dialects agree)",
+    "/ punctuation runs; lookahead-free so Java and RE2 dialects agree) "
+    "— plus exact-substring dedup marking (operators/substring_dedup.py, "
+    "Lee-et-al-style hashed 10-token windows, corpus-wide canonical "
+    "first occurrence): n_windows / n_dup_windows / dup_positions",
 )
 def c1_token_count(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    from .substring_dedup import duplicate_window_stats
+
+    all_docs = load(spark, sf_dir, "documents")
+    sd = duplicate_window_stats(all_docs, width=SUBSTR_W)
+    docs = all_docs.filter(F.col("doc_id") < 400)
     toks = F.split("text", " ")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
@@ -90,6 +135,13 @@ def c1_token_count(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), 0))
         .cast("int")
         .alias("n_numbers"),
+    )
+    # dup_positions crosses the oracle boundary as a comma-joined string:
+    # the driver's comparator sorts/hashes cell values and list-typed
+    # cells are not portable across the two engines' pandas mappings
+    return base.join(
+        sd.withColumn("dup_positions", F.array_join("dup_positions", ",")),
+        "doc_id",
     )
 
 

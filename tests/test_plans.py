@@ -179,3 +179,19 @@ def test_salted_repartition_spreads_heavy_conv_and_preserves_results(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+
+def test_substring_dedup_joins_are_sort_merge_not_broadcast(spark):
+    """Both joins in the substring-dedup rollup sit on corpus-sized
+    derived relations (per-hash stats, per-doc rollup): under small
+    local stats Catalyst broadcasts them — a shape that cannot exist at
+    10^12 windows. The merge hints must hold them at sort-merge, where
+    AQE skew-join can split hot window hashes (ubiquitous boilerplate)."""
+    from mistral_ocr_app_spark.operators.substring_dedup import (
+        duplicate_window_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_window_stats(docs, width=10))
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("SortMergeJoin") == 2
