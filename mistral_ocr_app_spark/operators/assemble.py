@@ -249,3 +249,35 @@ def with_turn_rank(extracted: DataFrame) -> DataFrame:
     (conv_id ORDER BY turn_idx)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return extracted.withColumn("turn_rank", F.row_number().over(w))
+
+
+def pack_turns(
+    extracted: DataFrame,
+    budget_tokens: int,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Context-window packing (W-family extension): assign each turn a
+    ``pack_id`` within its conversation so downstream training sees
+    fixed-token-budget slices of long conversations.
+
+    Semantics are offset binning — a turn lands in the pack where its
+    first token falls on the conversation's cumulative token stream
+    (``pack_id = tokens_before_this_turn // budget``). This is the
+    window-expressible variant: exact first-fit packing needs a
+    sequential reset-on-overflow scan, while offset binning is one
+    running sum over the same (conv_id, turn_idx) window the assembly
+    path already uses — no extra shuffle shape, order-deterministic,
+    and a pack overruns the budget by at most one turn's tokens (the
+    straddling turn), which training-side truncation absorbs.
+
+    Token counts are whitespace-split ints, so the running sum is
+    integer-exact (no float accumulation drift across partitionings).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    tokens_before = F.sum(n_tok).over(w) - n_tok
+    return extracted.withColumn(
+        "pack_id", F.floor(tokens_before / F.lit(budget_tokens)).cast("int")
+    )

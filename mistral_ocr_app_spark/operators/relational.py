@@ -503,9 +503,18 @@ def w1_ordered_concat_per_group(spark, sf_dir):
     )
 
 
+#: budget (in exact integer cents of `value`) for the w4 pack_id column
+#: — the offset-binning demo of operators/assemble.py pack_turns
+_PACK_BUDGET_CENTS = 50_000
+
+
 @register(
     "w4_frame_running_sum",
-    """
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
     SELECT event_id, user_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
            round(CAST(sum(value) OVER (PARTITION BY user_id
@@ -513,23 +522,35 @@ def w1_ordered_concat_per_group(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
              AS running_value,
            round(CAST(lag(value, 1, 0.0) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS DOUBLE), 2) AS prev_value
-    FROM events
+                 ORDER BY ts, event_id) AS DOUBLE), 2) AS prev_value,
+           CAST(floor((sum(cents) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents)
+                 / {_PACK_BUDGET_CENTS}.0) AS INT) AS pack_id
+    FROM c
     """,
     "W2+W4: row_number position within sequence (app.py:92,674 loop index "
-    "k/j) + frame specs + lag (SURVEY §2.5 W4 extension) in one window",
+    "k/j) + frame specs + lag (SURVEY §2.5 W4 extension) in one window "
+    "— plus offset-binning pack_id (operators/assemble.py pack_turns "
+    "semantics over an integer-exact cents cumsum: context-window "
+    "packing for training slices)",
 )
 def w4_frame_running_sum(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # exact integer cumsum (values carry 2dp; round kills float noise
+    # BEFORE summing so both engines bin identically at pack boundaries)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.select(
         "event_id",
         "user_id",
         F.row_number().over(w).alias("pos"),
-        F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
-        ).alias("running_value"),
+        F.round(F.sum("value").over(wcum), 2).alias("running_value"),
         F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
+        F.floor((F.sum(cents).over(wcum) - cents) / F.lit(_PACK_BUDGET_CENTS))
+        .cast("int")
+        .alias("pack_id"),
     )
 
 
