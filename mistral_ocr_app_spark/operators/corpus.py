@@ -160,10 +160,14 @@ def c1_token_count(spark, sf_dir):
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
            CASE WHEN n_tokens >= 20
                  AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6
-                THEN 1 ELSE 0 END AS quality_pass
+                THEN 1 ELSE 0 END AS quality_pass,
+           CAST(ceil(greatest(n_tokens - 16, 1) / 48.0) AS INT) AS n_chunks
     FROM feats WHERE doc_id < 400
     """,
-    "quality scoring: stopword ratio + length heuristics (C4-style filters)",
+    "quality scoring: stopword ratio + length heuristics (C4-style "
+    "filters) — plus n_chunks, the closed-form chunk count of "
+    "operators/chunking.py chunk_documents(64, 16) (sliding token "
+    "windows for the embed→ANN path)",
 )
 def c2_quality_score(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
@@ -180,6 +184,9 @@ def c2_quality_score(spark, sf_dir):
         F.when((n_tokens >= 20) & stop_ratio.between(0.05, 0.6), 1)
         .otherwise(0)
         .alias("quality_pass"),
+        F.ceil(F.greatest(n_tokens - 16, F.lit(1)) / F.lit(48))
+        .cast("int")
+        .alias("n_chunks"),
     )
 
 
