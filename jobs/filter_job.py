@@ -9,10 +9,20 @@ training-data pipeline runs between dedup and training:
                                non-canonical duplicated W-token windows
                                corpus-wide BEFORE gating, Lee-et-al-style
                                — operators/substring_dedup.py)
+  * PII redaction             (optional --redact-pii: email/IPv4/phone
+                               scrub BEFORE gating so exports never see
+                               raw spans — functions/pii.py)
   * token/length gates        (c1 semantics: whitespace token count)
   * stopword-ratio band       (c2: boilerplate/gibberish both fail it)
   * mean-token-length band    (c2: code dumps / minified junk fail high)
   * language allow-list       (c3: bigram-hit heuristic)
+  * repetition gates          (Gopher-style char-weighted top-2-gram /
+                               duplicated-2-gram shares, shuffle-free —
+                               operators/repetition.py)
+  * benchmark decontamination (optional --decontaminate BENCH_PARQUET:
+                               W-token window-hash overlap against the
+                               eval set, broadcast semi-join —
+                               operators/decontaminate.py)
 
 Every row keeps its verdict and per-rule flags (nothing is silently
 dropped — the reject table is written too, with reasons, because at
@@ -48,8 +58,12 @@ def quality_flags(
     langs: tuple[str, ...] = ("latin-en", "latin-es"),
 ) -> DataFrame:
     """documents(text, ...) → per-row rule flags + verdict. Pure column
-    expressions (same building blocks as catalog queries c1-c3)."""
+    expressions (same building blocks as catalog queries c1-c3). The
+    verdict ANDs every ``pass_*`` column present on the frame — so an
+    upstream stage (decontamination) that contributed its own flag is
+    folded in automatically."""
     from mistral_ocr_app_spark.operators.corpus import STOPWORDS
+    from mistral_ocr_app_spark.operators.repetition import repetition_flags
 
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("int")
@@ -61,26 +75,27 @@ def quality_flags(
     es = F.size(F.regexp_extract_all("text", F.lit("de|la|el|os"), 0))
     lang_guess = F.when(en >= es, "latin-en").otherwise("latin-es")
 
+    rep = repetition_flags(toks)
     flagged = docs.select(
         "*",
         n_tokens.alias("q_n_tokens"),
         F.round(stop_ratio, 4).alias("q_stop_ratio"),
         F.round(mean_len, 4).alias("q_mean_token_len"),
         lang_guess.alias("q_lang"),
+        rep["top2gram_frac"].alias("q_top2gram_frac"),
+        rep["dup2gram_frac"].alias("q_dup2gram_frac"),
         (n_tokens >= min_tokens).alias("pass_min_tokens"),
         (n_tokens <= max_tokens).alias("pass_max_tokens"),
         stop_ratio.between(stopword_lo, stopword_hi).alias("pass_stopwords"),
         (mean_len <= mean_len_hi).alias("pass_token_len"),
         lang_guess.isin(*langs).alias("pass_lang"),
+        rep["repetition_pass"].alias("pass_repetition"),
     )
-    return flagged.withColumn(
-        "quality_pass",
-        F.col("pass_min_tokens")
-        & F.col("pass_max_tokens")
-        & F.col("pass_stopwords")
-        & F.col("pass_token_len")
-        & F.col("pass_lang"),
-    )
+    verdict = F.lit(True)
+    for c in flagged.columns:
+        if c.startswith("pass_"):
+            verdict = verdict & F.col(c)
+    return flagged.withColumn("quality_pass", verdict)
 
 
 def apply_substring_dedup(docs: DataFrame, width: int) -> DataFrame:
@@ -100,6 +115,20 @@ def apply_substring_dedup(docs: DataFrame, width: int) -> DataFrame:
     )
 
 
+def apply_pii_redaction(docs: DataFrame) -> DataFrame:
+    """PII scrub stage: ``text`` becomes the redacted stream (typed
+    placeholders), per-rule counts land as ``q_n_email`` /
+    ``q_n_ipv4`` / ``q_n_phone`` so the QA surface shows how much was
+    cut. Runs before gating — downstream exports never see raw PII."""
+    from mistral_ocr_app_spark.functions.pii import pii_counts, redact_pii
+
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "*",
+        *[c.alias(f"q_{k}") for k, c in counts.items()],
+    ).withColumn("text", redact_pii(F.col("text")))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -113,6 +142,18 @@ def main() -> int:
         help="exact-substring dedup before gating: remove non-canonical "
         "duplicated W-token windows corpus-wide (0 = off)",
     )
+    ap.add_argument(
+        "--redact-pii", action="store_true",
+        help="scrub email/IPv4/phone spans to typed placeholders before "
+        "gating (counts recorded as q_n_* columns)",
+    )
+    ap.add_argument(
+        "--decontaminate", metavar="BENCH_PARQUET", default=None,
+        help="parquet of benchmark texts (text column); documents "
+        "sharing a W-token window with any benchmark item fail "
+        "pass_decontam",
+    )
+    ap.add_argument("--contam-width", type=int, default=10, metavar="W")
     args = ap.parse_args()
 
     spark = (
@@ -123,6 +164,13 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     if args.strip_dup_windows:
         docs = apply_substring_dedup(docs, args.strip_dup_windows)
+    if args.redact_pii:
+        docs = apply_pii_redaction(docs)
+    if args.decontaminate:
+        from mistral_ocr_app_spark.operators.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.decontaminate)
+        docs = decontaminate(docs, bench, width=args.contam_width)
     flagged = quality_flags(
         docs,
         min_tokens=args.min_tokens,

@@ -96,7 +96,12 @@ SUBSTR_W = 10
                        FILTER (WHERE cnt > 1
                                AND doc_id * 1048576 + pos <> mink))
                AS dup_positions
-      FROM marked GROUP BY doc_id)
+      FROM marked GROUP BY doc_id),
+    contam AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_contam_windows
+      FROM occ
+      WHERE wh IN (SELECT DISTINCT wh FROM occ WHERE doc_id >= 450)
+      GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
            CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
@@ -106,8 +111,10 @@ SUBSTR_W = 10
            CAST(len(regexp_extract_all(d.text, ' ?[0-9]+')) AS INT) AS n_numbers,
            COALESCE(sd.n_windows, 0) AS n_windows,
            COALESCE(sd.n_dup_windows, 0) AS n_dup_windows,
-           COALESCE(array_to_string(sd.dup_positions, ','), '') AS dup_positions
+           COALESCE(array_to_string(sd.dup_positions, ','), '') AS dup_positions,
+           COALESCE(c.n_contam_windows, 0) AS n_contam_windows
     FROM documents d LEFT JOIN sd USING (doc_id)
+         LEFT JOIN contam c USING (doc_id)
     WHERE d.doc_id < 400
     """,
     "token counting over documents — whitespace tokenizer AND the "
@@ -115,13 +122,21 @@ SUBSTR_W = 10
     "/ punctuation runs; lookahead-free so Java and RE2 dialects agree) "
     "— plus exact-substring dedup marking (operators/substring_dedup.py, "
     "Lee-et-al-style hashed 10-token windows, corpus-wide canonical "
-    "first occurrence): n_windows / n_dup_windows / dup_positions",
+    "first occurrence): n_windows / n_dup_windows / dup_positions — "
+    "plus benchmark decontamination (operators/decontaminate.py: "
+    "held-out slice doc_id>=450 as the eval set, broadcast semi-join "
+    "of its window hashes): n_contam_windows",
 )
 def c1_token_count(spark, sf_dir):
+    from .decontaminate import benchmark_window_hashes, contamination_counts
     from .substring_dedup import duplicate_window_stats
 
     all_docs = load(spark, sf_dir, "documents")
     sd = duplicate_window_stats(all_docs, width=SUBSTR_W)
+    bench_hashes = benchmark_window_hashes(
+        all_docs.filter(F.col("doc_id") >= 450), width=SUBSTR_W
+    )
+    contam = contamination_counts(all_docs, bench_hashes, width=SUBSTR_W)
     docs = all_docs.filter(F.col("doc_id") < 400)
     toks = F.split("text", " ")
     base = docs.select(
@@ -139,9 +154,16 @@ def c1_token_count(spark, sf_dir):
     # dup_positions crosses the oracle boundary as a comma-joined string:
     # the driver's comparator sorts/hashes cell values and list-typed
     # cells are not portable across the two engines' pandas mappings
-    return base.join(
-        sd.withColumn("dup_positions", F.array_join("dup_positions", ",")),
-        "doc_id",
+    return (
+        base.join(
+            sd.withColumn("dup_positions", F.array_join("dup_positions", ",")),
+            "doc_id",
+        )
+        .join(contam.select("doc_id", "n_contam_windows"), "doc_id", "left")
+        .withColumn(
+            "n_contam_windows",
+            F.coalesce("n_contam_windows", F.lit(0)).cast("int"),
+        )
     )
 
 
@@ -154,28 +176,56 @@ def c1_token_count(spark, sf_dir):
              CAST(len(list_filter(string_split(text, ' '),
                   w -> list_contains({STOPWORDS!r}, w))) AS INT) AS n_stop,
              CAST(length(text) AS INT) AS n_chars
-      FROM documents)
-    SELECT doc_id, n_tokens,
+      FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id < 400),
+    g2 AS (
+      SELECT doc_id, array_to_string(tk[g.i+1 : g.i+2], ' ') AS gram
+      FROM toks CROSS JOIN generate_series(0, 127) g(i)
+      WHERE g.i <= len(tk) - 2),
+    g2s AS (
+      SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+      FROM g2 GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id,
+             round(CAST(max(cnt * glen) AS DOUBLE)
+                   / sum(cnt * glen), 4) AS top2gram_frac,
+             round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END)
+                        AS DOUBLE) / sum(cnt * glen), 4) AS dup2gram_frac
+      FROM g2s GROUP BY doc_id)
+    SELECT f.doc_id, n_tokens,
            round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
            CASE WHEN n_tokens >= 20
                  AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6
                 THEN 1 ELSE 0 END AS quality_pass,
-           CAST(ceil(greatest(n_tokens - 16, 1) / 48.0) AS INT) AS n_chunks
-    FROM feats WHERE doc_id < 400
+           CAST(ceil(greatest(n_tokens - 16, 1) / 48.0) AS INT) AS n_chunks,
+           COALESCE(r.top2gram_frac, 0.0) AS top2gram_frac,
+           COALESCE(r.dup2gram_frac, 0.0) AS dup2gram_frac,
+           CASE WHEN COALESCE(r.top2gram_frac, 0.0) <= 0.10
+                 AND COALESCE(r.dup2gram_frac, 0.0) <= 0.12
+                THEN 1 ELSE 0 END AS repetition_pass
+    FROM feats f LEFT JOIN rep r USING (doc_id) WHERE f.doc_id < 400
     """,
     "quality scoring: stopword ratio + length heuristics (C4-style "
     "filters) — plus n_chunks, the closed-form chunk count of "
     "operators/chunking.py chunk_documents(64, 16) (sliding token "
-    "windows for the embed→ANN path)",
+    "windows for the embed→ANN path), plus the Gopher repetition gates "
+    "(operators/repetition.py: char-weighted most-common-2-gram and "
+    "duplicated-2-gram shares, computed shuffle-free by a sorted-array "
+    "run scan while the oracle uses the natural unnest+GROUP BY shape)",
 )
 def c2_quality_score(spark, sf_dir):
+    from .repetition import repetition_flags
+
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     toks = F.split("text", " ")
     stop_arr = F.array([F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks).cast("int")
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("int")
     stop_ratio = n_stop.cast("double") / n_tokens
+    rep = repetition_flags(toks)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -187,32 +237,94 @@ def c2_quality_score(spark, sf_dir):
         F.ceil(F.greatest(n_tokens - 16, F.lit(1)) / F.lit(48))
         .cast("int")
         .alias("n_chunks"),
+        rep["top2gram_frac"].alias("top2gram_frac"),
+        rep["dup2gram_frac"].alias("dup2gram_frac"),
+        rep["repetition_pass"].cast("int").alias("repetition_pass"),
     )
+
+
+def _pii_sql():
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH pii AS (
+      SELECT doc_id, lang, text,
+             text
+             || CASE WHEN doc_id % 3 > 0 THEN ' mail user'
+                  || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+             || CASE WHEN doc_id % 4 > 0 THEN ' from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 50 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 5 > 0 THEN ' call +1-555-0'
+                  || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS pii_text
+      FROM documents WHERE doc_id < 300),
+    scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, 'th|he|in|er')) AS en_hits,
+             len(regexp_extract_all(text, 'de|la|el|os')) AS es_hits,
+             CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS INT)
+               AS n_email,
+             CAST(len(regexp_extract_all(pii_text, '{IPV4_RE}')) AS INT)
+               AS n_ipv4,
+             CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS INT)
+               AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM pii)
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= es_hits THEN 'latin-en' ELSE 'latin-es' END
+             AS guessed_family,
+           n_email, n_ipv4, n_phone, redacted
+    FROM scored
+    """
 
 
 @register(
     "c3_lang_id_ngram",
-    """
-    WITH scored AS (
-      SELECT doc_id, lang,
-             len(regexp_extract_all(text, 'th|he|in|er')) AS en_hits,
-             len(regexp_extract_all(text, 'de|la|el|os')) AS es_hits
-      FROM documents WHERE doc_id < 300)
-    SELECT doc_id, lang,
-           CASE WHEN en_hits >= es_hits THEN 'latin-en' ELSE 'latin-es' END
-             AS guessed_family
-    FROM scored
-    """,
-    "language-ID n-gram heuristic (bigram hit counting)",
+    _pii_sql(),
+    "language-ID n-gram heuristic (bigram hit counting) — plus the PII "
+    "scrub surface (functions/pii.py: email/IPv4/phone redaction chain "
+    "+ per-rule counts, value-oracled over a deterministically "
+    "synthesized PII tail because the fixture corpus itself carries "
+    "none; dialect-portable Java↔RE2 patterns)",
 )
 def c3_lang_id_ngram(spark, sf_dir):
+    from ..functions.pii import pii_counts, redact_pii
+
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    email_tail = F.when(
+        d % 3 > 0,
+        F.concat(
+            F.lit(" mail user"), d.cast("string"), F.lit("@ex"),
+            (d % 7).cast("string"), F.lit(".org"),
+        ),
+    ).otherwise("")
+    ip_tail = F.when(
+        d % 4 > 0,
+        F.concat(
+            F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0."),
+            (d % 50).cast("string"),
+        ),
+    ).otherwise("")
+    phone_tail = F.when(
+        d % 5 > 0, F.concat(F.lit(" call +1-555-0"), (d % 100).cast("string"))
+    ).otherwise("")
+    pii_text = F.concat(F.col("text"), email_tail, ip_tail, phone_tail)
     en = F.size(F.regexp_extract_all("text", F.lit("th|he|in|er"), 0))
     es = F.size(F.regexp_extract_all("text", F.lit("de|la|el|os"), 0))
+    counts = pii_counts(pii_text)
     return docs.select(
         "doc_id",
         "lang",
         F.when(en >= es, "latin-en").otherwise("latin-es").alias("guessed_family"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        redact_pii(pii_text).alias("redacted"),
     )
 
 

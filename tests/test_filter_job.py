@@ -17,7 +17,9 @@ def test_flags_consistent_with_c2_catalog_query(spark):
     """c2_quality_score's quality_pass uses the same min-tokens +
     stopword-band rules; with the extra rules disabled the job must
     reproduce it exactly (both are built from the same expressions,
-    but c2 is DuckDB-oracled — this transfers that trust)."""
+    but c2 is DuckDB-oracled — this transfers that trust; the job's
+    always-on repetition gate maps to c2's separately-oracled
+    repetition_pass column)."""
     from mistral_ocr_app_spark.operators import catalog
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
@@ -28,7 +30,9 @@ def test_flags_consistent_with_c2_catalog_query(spark):
         langs=("latin-en", "latin-es"),
     ).select("doc_id", F.col("quality_pass").cast("int").alias("qp"))
     c2 = catalog.queries()["c2_quality_score"](spark, SF_DIR).select(
-        "doc_id", F.col("quality_pass").alias("qp_c2")
+        "doc_id",
+        (F.col("quality_pass").cast("boolean")
+         & F.col("repetition_pass").cast("boolean")).cast("int").alias("qp_c2"),
     )
     joined = ours.join(c2, "doc_id")
     assert joined.count() == docs.count()
@@ -48,3 +52,30 @@ def test_partition_is_total_and_reasons_recorded(spark, tmp_path):
         F.forall(F.array(*[F.col(c) for c in rule_cols]), lambda x: x)
     )
     assert no_reason.count() == 0
+
+
+def test_substring_dedup_stage_rewrites_text(spark):
+    """--strip-dup-windows path: text becomes the deduped stream (c1's
+    oracled dup positions predict exactly which tokens disappear), the
+    original survives as text_raw, row count and doc_ids unchanged."""
+    from filter_job import apply_substring_dedup
+
+    from mistral_ocr_app_spark.operators.substring_dedup import (
+        duplicate_window_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = apply_substring_dedup(docs, width=10)
+    assert out.count() == docs.count()
+    assert {"text", "text_raw"} <= set(out.columns)
+    stats = duplicate_window_stats(docs, width=10).select(
+        "doc_id", "n_dup_windows"
+    )
+    joined = out.join(stats, "doc_id")
+    # untouched docs keep their text verbatim; touched docs shrink
+    assert (
+        joined.filter("n_dup_windows = 0 AND text <> text_raw").count() == 0
+    )
+    touched = joined.filter("n_dup_windows > 0")
+    assert touched.count() > 0
+    assert touched.filter(F.length("text") >= F.length("text_raw")).count() == 0
