@@ -154,6 +154,12 @@ def main() -> int:
         "pass_decontam",
     )
     ap.add_argument("--contam-width", type=int, default=10, metavar="W")
+    ap.add_argument(
+        "--shuffle-seed", default=None, metavar="SEED",
+        help="write the kept table in a deterministic globally shuffled "
+        "order (keyed-hash range sort — reproducible across runs and "
+        "cluster sizes; operators/sampling.py)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -179,9 +185,14 @@ def main() -> int:
         stopword_hi=args.stopword_band[1],
         langs=tuple(args.langs),
     )
-    flagged.filter("quality_pass").drop(
+    kept = flagged.filter("quality_pass").drop(
         *[c for c in flagged.columns if c.startswith("pass_")]
-    ).write.mode("overwrite").parquet(os.path.join(args.output, "kept"))
+    )
+    if args.shuffle_seed:
+        from mistral_ocr_app_spark.operators.sampling import global_shuffle
+
+        kept = global_shuffle(kept, "doc_id", seed=args.shuffle_seed)
+    kept.write.mode("overwrite").parquet(os.path.join(args.output, "kept"))
     flagged.filter("NOT quality_pass").write.mode("overwrite").parquet(
         os.path.join(args.output, "rejected")
     )

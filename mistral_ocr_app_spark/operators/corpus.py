@@ -341,16 +341,32 @@ _FP_BASE = 1000003  # polynomial base; acc·B + h stays < 2^52 (ANSI-safe)
                  list_transform(string_split(lower(text), ' '),
                                 t -> {_SQL_H.format(t='t')})),
                (acc, h) -> (acc * {_FP_BASE} + h) % 2147483647) AS fp
-      FROM documents)
-    SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
-           CAST(count(*) AS BIGINT) AS n_copies
-    FROM fp GROUP BY fp
+      FROM documents),
+    canon AS (
+      SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM fp GROUP BY fp)
+    SELECT fp, canonical_id, n_copies,
+           CASE WHEN {_SQL_H.format(
+               t="concat('7:', CAST(canonical_id AS VARCHAR))")}
+                < 536870911 THEN 1 ELSE 0 END AS in_sample_25,
+           CAST({_SQL_H.format(
+               t="concat('s:', CAST(canonical_id AS VARCHAR))")}
+                % 16 AS INT) AS shuffle_bucket
+    FROM canon
     """,
     "document fingerprinting: polynomial rolling hash over the lowered "
     "token stream (order-sensitive, case/token-exact) — the streaming "
-    "analog of d1's full-text hash; groups = rolling-hash dedup classes",
+    "analog of d1's full-text hash; groups = rolling-hash dedup classes "
+    "— plus the export-side sampling surface (operators/sampling.py): "
+    "deterministic 25% sample membership and 16-way shuffle-bucket "
+    "assignment of each canonical, pure keyed-hash functions of the "
+    "row (reproducible across runs, partitionings and engines — no "
+    "rand()/sample() nondeterminism)",
 )
 def c5_rolling_fingerprint(spark, sf_dir):
+    from .sampling import sample_flag, shuffle_bucket
+
     docs = load(spark, sf_dir, "documents")
     hs = F.transform(F.split(F.lower("text"), " "), md5_int)
     fp = F.aggregate(
@@ -358,13 +374,21 @@ def c5_rolling_fingerprint(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(_FP_BASE) + h) % F.lit(P_HASH),
     )
-    return (
+    canon = (
         docs.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+    cid = F.col("canonical_id")
+    return canon.select(
+        "fp",
+        "canonical_id",
+        "n_copies",
+        sample_flag(cid, 0.25, seed="7").cast("int").alias("in_sample_25"),
+        shuffle_bucket(cid, 16, seed="s").alias("shuffle_bucket"),
     )
 
 
