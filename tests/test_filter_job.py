@@ -79,3 +79,51 @@ def test_substring_dedup_stage_rewrites_text(spark):
     touched = joined.filter("n_dup_windows > 0")
     assert touched.count() > 0
     assert touched.filter(F.length("text") >= F.length("text_raw")).count() == 0
+
+
+def test_cli_all_stages_together(tmp_path):
+    """The full production invocation: substring dedup + PII scrub +
+    decontamination + gating + shuffled write, via the real CLI
+    (subprocess — argument wiring and stage order are part of the
+    contract). Every stage must leave its fingerprint on the output."""
+    import json
+    import subprocess
+
+    bench_dir = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    # benchmark = the held-out slice written through a side job
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE doc_id >= 450) TO '{bench_dir}' (FORMAT PARQUET, "
+        "PER_THREAD_OUTPUT FALSE)"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "/root/repo/jobs/filter_job.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out_dir,
+            "--min-tokens", "10",
+            "--strip-dup-windows", "10",
+            "--redact-pii",
+            "--decontaminate", bench_dir,
+            "--shuffle-seed", "it7",
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] == 500
+    assert 0 < stats["n_kept"] < 500
+    assert "fail_decontam" in stats and "fail_repetition" in stats
+
+    kept = con.execute(f"SELECT * FROM '{out_dir}/kept/*.parquet'").df()
+    rej = con.execute(f"SELECT * FROM '{out_dir}/rejected/*.parquet'").df()
+    assert len(kept) + len(rej) == 500
+    assert "text_raw" in kept.columns  # dedup stage ran
+    assert {"q_n_email", "q_n_ipv4", "q_n_phone"} <= set(kept.columns)
+    assert "n_contam_windows" in kept.columns
+    assert (kept["n_contam_windows"] == 0).all()  # contaminated can't be kept
+    assert (~rej[rej["n_contam_windows"] > 0]["quality_pass"]).all()
