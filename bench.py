@@ -334,6 +334,88 @@ def run_extract_only(cpus: int) -> dict:
     return {"cpus": cpus, **ext}
 
 
+PIPE_REPLICATE = int(os.environ.get("SPARK_GRAFT_PIPE_REPLICATE", "100"))
+
+
+def run_pipeline(cpus: int) -> dict:
+    """Corpus-filter family throughput (round 6): the documents table
+    replicated ×PIPE_REPLICATE via explode (one scan, fresh doc_ids so
+    dedup/sampling see distinct keys), every stage driven through the
+    noop sink so nothing is optimizer-elided. Not part of the driver's
+    default bench — run manually for the filter/export-family numbers.
+
+    Stages: quality gate (C4 + Gopher repetition, zero-shuffle),
+    corpus-wide substring-dedup marking (the shuffle-heavy one — window
+    hash groupBy + join back), PII redaction (pure regexp projection),
+    benchmark decontamination (broadcast semi probe), deterministic
+    sample + global shuffle (range-sort)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from filter_job import quality_flags
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_app_spark.operators.decontaminate import decontaminate
+    from mistral_ocr_app_spark.operators.sampling import (
+        deterministic_sample, global_shuffle,
+    )
+    from mistral_ocr_app_spark.operators.substring_dedup import (
+        duplicate_window_stats,
+    )
+    from mistral_ocr_app_spark.functions.pii import pii_counts, redact_pii
+
+    spark = make_spark(cpus)
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    k = PIPE_REPLICATE
+    docs = (
+        base.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+        ).withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+        .drop("rep")
+        if k > 1
+        else base
+    )
+    bench_slice = base.filter(F.col("doc_id") >= 450)  # tiny, broadcast side
+    n_docs = docs.count()
+
+    stages = {
+        "quality_gate": lambda: _noop_write(quality_flags(docs)),
+        "substring_dedup_mark": lambda: _noop_write(
+            duplicate_window_stats(docs, width=10)
+        ),
+        "pii_redact": lambda: _noop_write(
+            docs.select(
+                "doc_id",
+                redact_pii(F.col("text")).alias("text"),
+                *[c.alias(n) for n, c in pii_counts(F.col("text")).items()],
+            )
+        ),
+        "decontaminate": lambda: _noop_write(decontaminate(docs, bench_slice)),
+        "sample_shuffle": lambda: _noop_write(
+            global_shuffle(deterministic_sample(docs, 0.25), "doc_id")
+        ),
+    }
+    out, trials = {}, {}
+    for name, fn in stages.items():
+        fn()  # warm: codegen + python workers
+        trials[name] = [_timed_with_metrics(spark, fn) for _ in range(TRIALS)]
+        out[name] = round(min(t["sec"] for t in trials[name]), 2)
+        log(f"[pipeline] {name}: {out[name]}s")
+    spark.stop()
+    total = round(sum(out.values()), 2)
+    return {
+        "metric": "pipeline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": out,
+        "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "docs_per_sec_gate": round(n_docs / max(out["quality_gate"], 1e-9)),
+        "trials": trials,
+    }
+
+
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))  # N and 4N cores
 
 
@@ -703,6 +785,9 @@ def main():
     ap.add_argument("--paired", action="store_true",
                     help="temporally-paired lo/hi attempts (secondary "
                          "efficiency evidence, appended to BASELINE.md)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="corpus-filter family throughput (replicated "
+                         "documents corpus; not in the driver default)")
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
@@ -712,6 +797,8 @@ def main():
         out = run_paired()
     elif args.scaling:
         out = run_scaling()
+    elif args.pipeline:
+        out = run_pipeline(args.cpus)
     elif args.extract_only:
         out = run_extract_only(args.cpus)
     else:
@@ -726,6 +813,7 @@ def main():
     if bulky:
         mode = ("hunt" if args.hunt else "paired" if args.paired
                 else "scaling" if args.scaling
+                else "pipeline" if args.pipeline
                 else "extract_only" if args.extract_only else "full")
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         trials_path = os.path.join(REPO, "BENCH", f"trials_{mode}.json")

@@ -63,7 +63,7 @@ def quality_flags(
     upstream stage (decontamination) that contributed its own flag is
     folded in automatically."""
     from mistral_ocr_app_spark.operators.corpus import STOPWORDS
-    from mistral_ocr_app_spark.operators.repetition import repetition_flags
+    from mistral_ocr_app_spark.operators.repetition import with_repetition_flags
 
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("int")
@@ -75,21 +75,20 @@ def quality_flags(
     es = F.size(F.regexp_extract_all("text", F.lit("de|la|el|os"), 0))
     lang_guess = F.when(en >= es, "latin-en").otherwise("latin-es")
 
-    rep = repetition_flags(toks)
-    flagged = docs.select(
+    staged = with_repetition_flags(
+        docs, cols=("q_top2gram_frac", "q_dup2gram_frac", "pass_repetition")
+    )
+    flagged = staged.select(
         "*",
         n_tokens.alias("q_n_tokens"),
         F.round(stop_ratio, 4).alias("q_stop_ratio"),
         F.round(mean_len, 4).alias("q_mean_token_len"),
         lang_guess.alias("q_lang"),
-        rep["top2gram_frac"].alias("q_top2gram_frac"),
-        rep["dup2gram_frac"].alias("q_dup2gram_frac"),
         (n_tokens >= min_tokens).alias("pass_min_tokens"),
         (n_tokens <= max_tokens).alias("pass_max_tokens"),
         stop_ratio.between(stopword_lo, stopword_hi).alias("pass_stopwords"),
         (mean_len <= mean_len_hi).alias("pass_token_len"),
         lang_guess.isin(*langs).alias("pass_lang"),
-        rep["repetition_pass"].alias("pass_repetition"),
     )
     verdict = F.lit(True)
     for c in flagged.columns:

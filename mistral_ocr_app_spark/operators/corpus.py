@@ -217,7 +217,7 @@ def c1_token_count(spark, sf_dir):
     "run scan while the oracle uses the natural unnest+GROUP BY shape)",
 )
 def c2_quality_score(spark, sf_dir):
-    from .repetition import repetition_flags
+    from .repetition import with_repetition_flags
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     toks = F.split("text", " ")
@@ -225,8 +225,7 @@ def c2_quality_score(spark, sf_dir):
     n_tokens = F.size(toks).cast("int")
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("int")
     stop_ratio = n_stop.cast("double") / n_tokens
-    rep = repetition_flags(toks)
-    return docs.select(
+    return with_repetition_flags(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -237,9 +236,9 @@ def c2_quality_score(spark, sf_dir):
         F.ceil(F.greatest(n_tokens - 16, F.lit(1)) / F.lit(48))
         .cast("int")
         .alias("n_chunks"),
-        rep["top2gram_frac"].alias("top2gram_frac"),
-        rep["dup2gram_frac"].alias("dup2gram_frac"),
-        rep["repetition_pass"].cast("int").alias("repetition_pass"),
+        "top2gram_frac",
+        "dup2gram_frac",
+        F.col("repetition_pass").cast("int").alias("repetition_pass"),
     )
 
 

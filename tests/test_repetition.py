@@ -9,8 +9,8 @@ from pyspark.sql import functions as F
 from mistral_ocr_app_spark.operators.repetition import (
     dup_gram_char_frac,
     gram_array,
-    repetition_flags,
     top_gram_char_frac,
+    with_repetition_flags,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -86,11 +86,44 @@ def test_gram_array_short_doc_is_empty(spark):
     assert [r["s"] for r in sizes] == [0, 1]
 
 
-def test_repetition_projection_is_shuffle_free(spark):
+def test_fast_path_matches_reference_functions(spark):
+    """with_repetition_flags (staged, hashed, single-pass) must agree
+    with the standalone reference columns on real + adversarial docs."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .union(
+            spark.createDataFrame(
+                [(10_000 + i, t) for i, t in enumerate(HAND_CASES)],
+                "doc_id long, text string",
+            )
+        )
+    )
+    toks = F.split("text", " ")
+    ref = docs.select(
+        "doc_id",
+        top_gram_char_frac(toks, 2).alias("rt"),
+        dup_gram_char_frac(toks, 2).alias("rd"),
+    )
+    fast = with_repetition_flags(docs).select(
+        "doc_id", "top2gram_frac", "dup2gram_frac", "repetition_pass"
+    )
+    joined = {r["doc_id"]: r for r in fast.join(ref, "doc_id").collect()}
+    for r in joined.values():
+        assert (r["top2gram_frac"], r["dup2gram_frac"]) == (r["rt"], r["rd"]), r
+
+
+def test_repetition_projection_is_shuffle_free_and_single_pass(spark):
     """The whole point vs the explode→groupBy shape: per-doc metrics
-    must not exchange — the plan is scan → project, no shuffle."""
+    must not exchange — the plan is scan → project, no shuffle. And
+    the staged derive must keep ONE aggregate scan for all three
+    outputs (CollapseProject must not inline the _rep struct)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    flags = repetition_flags(F.split("text", " "))
-    out = docs.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+    out = with_repetition_flags(docs).select(
+        "doc_id", "top2gram_frac", "dup2gram_frac", "repetition_pass"
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    assert plan.count("array_sort") == 1, plan.count("array_sort")
+    # the per-token hash array is materialized once, not per gram
+    assert plan.count("xxhash64") == 1, plan.count("xxhash64")
