@@ -334,7 +334,7 @@ def run_extract_only(cpus: int) -> dict:
     return {"cpus": cpus, **ext}
 
 
-PIPE_REPLICATE = int(os.environ.get("SPARK_GRAFT_PIPE_REPLICATE", "100"))
+PIPE_REPLICATE = int(os.environ.get("SPARK_GRAFT_PIPE_REPLICATE", "30"))
 
 
 def run_pipeline(cpus: int) -> dict:
@@ -375,6 +375,11 @@ def run_pipeline(cpus: int) -> dict:
         if k > 1
         else base
     )
+    # the 1-file source collapses the exploded corpus into ONE scan task
+    # (first run: every "zero-shuffle" stage executed single-core) — at
+    # 100 TB the input has millions of splits, so pre-spread + cache the
+    # tiny local stand-in and measure the compute, not the file layout
+    docs = docs.repartition(8 * cpus).persist()
     bench_slice = base.filter(F.col("doc_id") >= 450)  # tiny, broadcast side
     n_docs = docs.count()
 
