@@ -202,16 +202,3 @@ def dup_gram_char_frac(toks: Column, n: int) -> Column:
     than once in the document (Gopher's "fraction of characters in
     duplicated n-grams")."""
     return _stats_inline(toks, n)["dup_frac"]
-
-
-def repetition_flags(toks: Column) -> dict[str, Column]:
-    """Column-bundle variant of the standard gates. NOTE: in a single
-    ``select`` these three expressions are evaluated independently —
-    prefer :func:`with_repetition_flags` on hot paths."""
-    stats = _stats_inline(toks, 2)
-    top2, dup2 = stats["top_frac"], stats["dup_frac"]
-    return {
-        "top2gram_frac": top2,
-        "dup2gram_frac": dup2,
-        "repetition_pass": (top2 <= TOP2_MAX) & (dup2 <= DUP2_MAX),
-    }
