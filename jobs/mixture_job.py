@@ -51,6 +51,8 @@ def _one_source(
     fractional deterministic sample, ids epoch-suffixed."""
     from mistral_ocr_app_spark.operators.sampling import deterministic_sample
 
+    if weight <= 0:
+        raise ValueError(f"source {name!r}: weight must be > 0, got {weight}")
     base = spark.read.parquet(path).select(
         F.col(id_col).cast("string").alias("id"),
         F.col(text_col).alias("text"),
