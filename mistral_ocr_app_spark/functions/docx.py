@@ -132,7 +132,9 @@ def _document_xml(data: bytes) -> bytes:
         raise DocxError("not a DOCX (bad ZIP magic)")
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except (zipfile.BadZipFile, OSError) as e:
+    except (zipfile.BadZipFile, OSError, ValueError, NotImplementedError) as e:
+        # ValueError: mutated central-directory offsets (negative seek);
+        # NotImplementedError: mutated "version needed to extract" field
         raise DocxError(f"bad ZIP container: {e}") from None
     with zf:
         infos = zf.infolist()
@@ -150,10 +152,11 @@ def _document_xml(data: bytes) -> bytes:
             with zf.open(info) as f:
                 xml = f.read(MAX_XML_BYTES + 1)
         except (zipfile.BadZipFile, OSError, zlib.error, EOFError,
-                NotImplementedError, RuntimeError) as e:
+                NotImplementedError, RuntimeError, ValueError) as e:
             # zlib.error: mutated deflate stream; NotImplementedError:
             # mutated compression-method field; RuntimeError: spurious
-            # encryption flag bit
+            # encryption flag bit; ValueError: mutated local-header
+            # offset (negative seek inside zf.open)
             raise DocxError(f"corrupt document part: {e}") from None
     if len(xml) > MAX_XML_BYTES:
         raise DocxError("document part exceeds inflate cap")
