@@ -525,27 +525,31 @@ def minhash_signatures(docs: DataFrame, portable: bool = True) -> DataFrame:
 _ROWS_PER_BAND = N_MINHASH // LSH_BANDS
 
 
+def _bucket_array():
+    """array<string> of the LSH_BANDS bucket keys of ``sig`` (each the
+    '_'-concatenation of that band's signature rows)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(
+                        "sig", b * _ROWS_PER_BAND + r + 1
+                    ).cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """MinHash signatures → banded rows (doc_id, band, bucket): the
     bucket key is the concatenation of the band's signature rows."""
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.element_at(
-                                "sig", b * _ROWS_PER_BAND + r + 1
-                            ).cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(_bucket_array()).alias("band", "bucket"),
     )
 
 
@@ -675,6 +679,211 @@ def lsh_candidate_pairs(
     return pairs, dropped
 
 
+# ---- round 7: signature-grouped candidate generation ------------------
+# The plain (band, bucket) self-join + ``.distinct()`` enumerates every
+# pair once PER COLLIDING BAND and then pays a full shuffle to dedup:
+# at sf1.0 that is 1.23e9 generated rows for ~4e8 distinct pairs, and
+# the distinct exchange dominated the query (guide §2.3/§2.4 — do fewer
+# shuffles, don't compute what you throw away). Two exact contractions
+# remove both costs without changing the pair set:
+#
+# 1. **Signature grouping.** The bucket key of every band is a pure
+#    function of ``sig``, so docs with IDENTICAL signatures are
+#    interchangeable for candidate generation: group docs by sig
+#    (sf1.0: 50k docs → 13,376 groups, hot bucket 26,551 docs → 1,377
+#    groups), run the banded self-join on one representative per group
+#    (7.7e6 joined rows instead of 1.23e9 — measured 159×), and expand
+#    group pairs back to doc pairs afterwards. Intra-group pairs
+#    (identical sig ⇒ collide in every band) are emitted directly.
+#
+# 2. **First-collision-band filter.** A pair of groups colliding in m
+#    bands would still be generated m times; instead of ``distinct``,
+#    each side carries its full signature and the join keeps a pair
+#    only in the FIRST band where the slices collide (no earlier band's
+#    slice equal). Every colliding pair survives in exactly one band —
+#    and with the expansion emitting each (group, group) combination
+#    exactly once, the result is duplicate-free BY CONSTRUCTION and the
+#    billion-row distinct exchange disappears outright.
+#
+# Exactness: pair (a, b) is a candidate iff ∃ band with equal bucket
+# keys iff their sig slices are equal in some band — decided entirely
+# by (sig(a), sig(b)), which the group representative preserves.
+# Equality with the plain path is pinned by tests/test_dedup_cluster.py
+# and the unchanged DuckDB oracle.
+
+
+def _first_collision(band, sig_a, sig_b):
+    """True iff no band EARLIER than ``band`` also collides, evaluated
+    from the two full signatures. band 0 is trivially first."""
+
+    def sl(s, t):
+        return F.slice(s, t * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
+
+    cond = F.lit(True)  # band 0: no earlier band exists
+    for t in range(1, LSH_BANDS):
+        no_earlier = sl(sig_a, 0) != sl(sig_b, 0)
+        for tp in range(1, t):
+            no_earlier = no_earlier & (sl(sig_a, tp) != sl(sig_b, tp))
+        cond = F.when(band == t, no_earlier).otherwise(cond)
+    return cond
+
+
+def _group_self_join_pairs(bands: DataFrame) -> DataFrame:
+    """Hinted SMJ self-join on (band, bucket) over group-representative
+    band rows carrying ``sig`` → (gid_a, gid_b), each colliding group
+    pair emitted from exactly its first colliding band."""
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & _first_collision(F.col("a.band"), F.col("a.sig"), F.col("b.sig")),
+    ).select(F.col("a.doc_id").alias("gid_a"), F.col("b.doc_id").alias("gid_b"))
+
+
+def _group_grid_salted_pairs(bands: DataFrame, grid: int) -> DataFrame:
+    """Grid-salted variant of ``_group_self_join_pairs`` (same 2-D block
+    lattice as ``_grid_salted_pairs`` — an unordered pair meets in
+    exactly one block, so the first-collision filter still sees each
+    pair once per colliding band and keeps exactly one)."""
+    s = F.lit(grid)
+    grid_seq = F.sequence(F.lit(0), F.lit(grid - 1))
+    salted = bands.withColumn(
+        "i", F.pmod(F.xxhash64(F.col("doc_id")), s).cast("int")
+    )
+    left = salted.withColumn("j", F.explode(grid_seq))
+    right = (
+        salted.withColumnRenamed("i", "j")
+        .withColumn("i", F.explode(grid_seq))
+    )
+    a, b = left.alias("a"), right.hint("merge").alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & _first_collision(F.col("a.band"), F.col("a.sig"), F.col("b.sig")),
+    ).select(F.col("a.doc_id").alias("gid_a"), F.col("b.doc_id").alias("gid_b"))
+
+
+def grouped_candidate_pairs(
+    sigs: DataFrame,
+    salt_threshold: int = 64,
+    salt_grid: int = 8,
+    chunk_size: int = 512,
+) -> DataFrame:
+    """(doc_id, sig) → distinct LSH candidate doc pairs (doc_a < doc_b),
+    duplicate-free by construction (see the block comment above; no
+    ``distinct`` anywhere in the plan).
+
+    Shape: one small shuffle groups docs by signature; the banded
+    self-join runs over group representatives (light/heavy split +
+    grid salting exactly as ``lsh_candidate_pairs``); expansion back to
+    doc pairs walks a chunk lattice over each group's sorted member
+    array — chunk combos are repartitioned by their key before the
+    explode so a mega-group's quadratic output spreads over the whole
+    cluster instead of one task (guide §2.5), and each task emits at
+    most ``chunk_size²`` rows per combo row.
+
+    Exactly-once accounting: an unordered doc pair {x, y} lives in one
+    (group, group) combination; inter-group combos are generated once
+    (gid_a < gid_b, every member cross pair emitted as least/greatest),
+    intra-group combos once per group (sorted members, ca ≤ cb chunk
+    triangle, da < db member filter). The member-chunk relation is
+    bounded — one row per ``chunk_size`` docs with an ≤8·chunk_size-byte
+    array — so at corpus scale it hash-joins instead of broadcasting;
+    at bench scale AQE broadcasts it on its own."""
+    groups = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("gid"),
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    bands = groups.select(
+        F.col("gid").alias("doc_id"),
+        "sig",
+        F.posexplode(_bucket_array()).alias("band", "bucket"),
+    )
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("k"))
+    heavy_keys = sizes.filter(F.col("k") > salt_threshold).select("band", "bucket")
+    light = bands.join(F.broadcast(heavy_keys), ["band", "bucket"], "left_anti")
+    heavy = bands.join(F.broadcast(heavy_keys), ["band", "bucket"], "left_semi")
+    gpairs = _group_self_join_pairs(light).unionByName(
+        _group_grid_salted_pairs(heavy, salt_grid)
+    )
+    # expansion: (group, group) combos → chunk-lattice → doc pairs
+    nc = F.ceil(F.col("k") / chunk_size).cast("int")
+    meta = groups.select("gid", nc.alias("nc"))
+    chunks = groups.select(
+        "gid",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("cid"),
+        "members",
+    ).select(
+        "gid",
+        "cid",
+        F.slice(
+            "members", F.col("cid") * chunk_size + 1, F.lit(chunk_size)
+        ).alias("cm"),
+    )
+    self_pairs = groups.filter(F.col("k") >= 2).select(
+        F.col("gid").alias("gid_a"), F.col("gid").alias("gid_b")
+    )
+    combos = (
+        gpairs.unionByName(self_pairs)
+        .join(
+            meta.select(F.col("gid").alias("gid_a"), F.col("nc").alias("nca")),
+            "gid_a",
+        )
+        .join(
+            meta.select(F.col("gid").alias("gid_b"), F.col("nc").alias("ncb")),
+            "gid_b",
+        )
+        .select(
+            "gid_a",
+            "gid_b",
+            F.explode(F.sequence(F.lit(0), F.col("nca") - 1)).alias("ca"),
+            "ncb",
+        )
+        .select(
+            "gid_a",
+            "gid_b",
+            "ca",
+            F.explode(F.sequence(F.lit(0), F.col("ncb") - 1)).alias("cb"),
+        )
+        # intra-group: upper chunk triangle only (sorted members ⇒ the
+        # lower triangle would be entirely filtered by da < db anyway)
+        .filter((F.col("gid_a") != F.col("gid_b")) | (F.col("ca") <= F.col("cb")))
+    )
+    spread = combos.repartition("gid_a", "gid_b", "ca", "cb")
+    return (
+        spread.join(
+            chunks.select(
+                F.col("gid").alias("gid_a"),
+                F.col("cid").alias("ca"),
+                F.col("cm").alias("ma"),
+            ),
+            ["gid_a", "ca"],
+        )
+        .join(
+            chunks.select(
+                F.col("gid").alias("gid_b"),
+                F.col("cid").alias("cb"),
+                F.col("cm").alias("mb"),
+            ),
+            ["gid_b", "cb"],
+        )
+        .select("gid_a", "gid_b", F.explode("ma").alias("da"), "mb")
+        .select("gid_a", "gid_b", "da", F.explode("mb").alias("db"))
+        .filter((F.col("gid_a") != F.col("gid_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+
+
 @register(
     "d4_minhash_lsh_candidates",
     f"""
@@ -701,13 +910,14 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
     # no bucket ceiling here: the catalog query is the raw-candidate
     # demo the oracle reproduces exactly; the production path
     # (jobs/dedup_job.py) applies the mega-bucket guard and surfaces
-    # its dropped-bucket counts in the job stats. Grid salting IS on:
-    # it changes the physical spread of heavy buckets, never the pair
-    # set, so the oracle match itself proves the lattice enumeration.
+    # its dropped-bucket counts in the job stats. Round 7: the
+    # signature-grouped generator — identical pair set (equality-pinned
+    # vs the plain path and the oracle), but group-contracted join +
+    # first-collision-band filter instead of a billion-row distinct.
     docs = load(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(docs))
-    pairs, _ = lsh_candidate_pairs(bands, salt_threshold=64, salt_grid=8)
-    return pairs
+    return grouped_candidate_pairs(
+        minhash_signatures(docs), salt_threshold=64, salt_grid=8
+    )
 
 
 N_SIMHASH_BITS = 64

@@ -219,6 +219,45 @@ def test_grid_salting_composes_with_bucket_ceiling(spark):
     assert dropped_a.count() == dropped_b.count() > 0
 
 
+def test_grouped_candidate_pairs_equals_plain_path(spark):
+    """Round-7 d4 generator: signature grouping + first-collision-band
+    filter + chunk-lattice expansion must reproduce the plain
+    join+distinct pair set EXACTLY, with zero duplicate rows (the plan
+    contains no distinct — uniqueness is by construction). Exercised on
+    both the adversarial mega-clone corpus (intra-group expansion,
+    heavy/salted path, chunking: chunk_size below the clone count) and
+    the driver testdata (inter-group collisions across near-dup sigs),
+    with both hash families."""
+    from mistral_ocr_app_spark.operators.corpus import (
+        grouped_candidate_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cases = [
+        (minhash_signatures(_adversarial_docs(spark), portable=False), 16),
+        (
+            minhash_signatures(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet"), portable=True
+            ),
+            512,
+        ),
+    ]
+    for sigs, chunk in cases:
+        plain, _ = lsh_candidate_pairs(
+            lsh_bands(sigs), salt_threshold=64, salt_grid=8
+        )
+        grouped = grouped_candidate_pairs(
+            sigs, salt_threshold=64, salt_grid=8, chunk_size=chunk
+        )
+        got = grouped.toPandas()
+        assert len(got) == len(got.drop_duplicates())  # no dups by construction
+        assert grouped.subtract(plain).count() == 0
+        assert plain.subtract(grouped).count() == 0
+        assert len(got) == plain.count()
+
+
 def test_dedup_job_guard_end_to_end(spark):
     """With the guard dropping the clone mega-bucket, the exact-dup path
     still collapses the clones into one cluster — verified pairs change
