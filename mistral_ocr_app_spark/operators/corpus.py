@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, register, spread_scan
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
 
@@ -131,7 +131,9 @@ def c1_token_count(spark, sf_dir):
     from .decontaminate import benchmark_window_hashes, contamination_counts
     from .substring_dedup import duplicate_window_stats
 
-    all_docs = load(spark, sf_dir, "documents")
+    # single-row-group source file: spread before the window-hash
+    # explode or its whole map stage runs on one core (guide §2.5)
+    all_docs = spread_scan(load(spark, sf_dir, "documents"))
     sd = duplicate_window_stats(all_docs, width=SUBSTR_W)
     bench_hashes = benchmark_window_hashes(
         all_docs.filter(F.col("doc_id") >= 450), width=SUBSTR_W
@@ -366,7 +368,8 @@ _FP_BASE = 1000003  # polynomial base; acc·B + h stays < 2^52 (ANSI-safe)
 def c5_rolling_fingerprint(spark, sf_dir):
     from .sampling import sample_flag, shuffle_bucket
 
-    docs = load(spark, sf_dir, "documents")
+    # per-doc md5 chain over every token: spread the one-split scan
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     hs = F.transform(F.split(F.lower("text"), " "), md5_int)
     fp = F.aggregate(
         hs,
@@ -914,7 +917,9 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
     # signature-grouped generator — identical pair set (equality-pinned
     # vs the plain path and the oracle), but group-contracted join +
     # first-collision-band filter instead of a billion-row distinct.
-    docs = load(spark, sf_dir, "documents")
+    # md5-per-token minhash is the map-heavy stage: spread the
+    # one-split scan so signature computation uses the whole cluster
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     return grouped_candidate_pairs(
         minhash_signatures(docs), salt_threshold=64, salt_grid=8
     )
@@ -985,7 +990,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     "candidate pairs whose signatures differ in ≤ 3 bits (hamming verify)",
 )
 def d5_simhash_bands(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # 64 interpreted aggregate passes per doc: spread the one-split scan
+    docs = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    )
     sigs = simhash_signatures(docs)
     rows = N_SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
@@ -1070,7 +1078,7 @@ def _cosine_expr(e1, e2):
     "brute-force cosine top-k ANN baseline (F.zip_with/aggregate dot product)",
 )
 def e1_cosine_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = _cosine_expr(F.col("embedding"), F.col("qv"))
     return (
@@ -1190,7 +1198,8 @@ def d6_embedding_neardup(spark, sf_dir):
     "order can't flip the argmax",
 )
 def e3_ivf_bucketed_ann(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    # interpreted float64 cosine per (vector, seed): spread the scan
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     seeds = (
         emb.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv"))
@@ -1322,7 +1331,8 @@ _SQL_HYPER_BITS = """
     "matrix to ship — hyperplanes are regenerated from the hash family",
 )
 def e4_hyperplane_lsh_ann(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    # 64 interpreted hyperplane dot products per vector: spread the scan
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     sigs = emb.select(
         "vec_id",
         "label",

@@ -115,11 +115,58 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _extract_arrow_batches(batches) -> "Iterator":
+    """Arrow-native variant of ``_extract_batches`` (round 7, guide §4.2):
+    the pass-through columns (conv_id, role, ts) are re-emitted as the
+    INPUT batch's own Arrow buffers — zero-copy, never materialized as
+    Python/pandas objects — and only text/tool/turn_idx (what
+    ``_extract_one`` actually reads) cross into Python-object land.
+    Measured on the 1M-turn bench corpus: the worker computes ~23
+    core-seconds but the mapInPandas stage burned ~54 — over half the
+    stage was Arrow↔pandas conversion, most of it for columns the
+    extractor never touches."""
+    import pyarrow as pa
+
+    for b in batches:
+        if not b.num_rows:
+            continue
+        idx = {name: i for i, name in enumerate(b.schema.names)}
+        turn_idx = b.column(idx["turn_idx"])
+        rows = [
+            _extract_one(text, tool, ti)
+            for text, tool, ti in zip(
+                b.column(idx["text"]).to_pylist(),
+                b.column(idx["tool"]).to_pylist(),
+                turn_idx.to_pylist(),
+            )
+        ]
+        kinds, texts_out, n_refs, n_images, n_rewritten, n_spans, valid = zip(*rows)
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(idx["conv_id"]),
+                turn_idx.cast(pa.int32()),
+                b.column(idx["role"]),
+                b.column(idx["ts"]),
+                pa.array(kinds, pa.string()),
+                pa.array(texts_out, pa.string()),
+                pa.array(n_refs, pa.int32()),
+                pa.array(n_images, pa.int32()),
+                pa.array(n_rewritten, pa.int32()),
+                pa.array(n_spans, pa.int32()),
+                pa.array(valid, pa.bool_()),
+            ],
+            names=[f.name for f in EXTRACT_FIELDS],
+        )
+
+
 def extract_turns(transcripts: DataFrame) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → per-turn
-    extraction output (EXTRACT_SCHEMA). Narrow (no shuffle)."""
+    extraction output (EXTRACT_SCHEMA). Narrow (no shuffle);
+    Arrow-native with zero-copy pass-through of untouched columns."""
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    return transcripts.select(*cols).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    return transcripts.select(*cols).mapInArrow(
+        _extract_arrow_batches, EXTRACT_SCHEMA
+    )
 
 
 def salted_repartition(

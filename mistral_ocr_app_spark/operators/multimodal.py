@@ -640,7 +640,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- catalog ---
 
-from .registry import load, register  # noqa: E402
+from .registry import load, register, spread_scan  # noqa: E402
 
 
 @register(
@@ -706,7 +706,9 @@ from .registry import load, register  # noqa: E402
     "(ffmpeg absent).",
 )
 def m1_media_features(spark, sf_dir):
-    media = media_from_documents(load(spark, sf_dir, "documents"))
+    # codec synth+decode is hundreds of core-seconds: spread the
+    # single-row-group scan or it all serializes on one task (§2.5)
+    media = media_from_documents(spread_scan(load(spark, sf_dir, "documents")))
     return extract_media_features(media).select(
         "media_id", "kind", "format", "width", "height", "n_frames",
         "pixel_sum", "sample_min", "sample_max", "sample_sumsq", "decoded",
@@ -749,7 +751,7 @@ def m1_media_features(spark, sf_dir):
     "pipeline hash-mismatches.",
 )
 def m3_thumbnail_pixels(spark, sf_dir):
-    media = media_from_documents(load(spark, sf_dir, "documents"))
+    media = media_from_documents(spread_scan(load(spark, sf_dir, "documents")))
     return thumbnail_pixel_stats(resize_images(media, max_side=16))
 
 
@@ -788,6 +790,8 @@ def m3_thumbnail_pixels(spark, sf_dir):
     "determinism + known-bytes checks",
 )
 def m2_video_frame_sample(spark, sf_dir):
+    # NOT spread_scan: only 300 docs survive the filter — 64-way spread
+    # tripled the wall time in task-scheduling overhead (measured)
     media = media_from_documents(
         load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     )

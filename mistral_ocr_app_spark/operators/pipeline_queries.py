@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .assemble import assemble_conversations_app
 from .extract import extract_turns
-from .registry import load, register
+from .registry import load, register, spread_scan
 
 N_CONVS_MOD = 100
 
@@ -154,6 +154,10 @@ _PER_TURN_SQL = f"""
     "rewrite) over transcripts derived from documents; true SQL oracle",
 )
 def q_flagship_per_turn(spark, sf_dir):
+    # NOT spread_scan: measured at sf1.0, the serial extraction map is
+    # ~0.5s while the extra exchange + second stage cost ~0.4s — the
+    # spread only breaks even here (unlike m1/m3/f1 where the map is
+    # hundreds of core-seconds); re-evaluate if the driver sf grows
     transcripts = derive_transcripts(load(spark, sf_dir, "documents"))
     return extract_turns(transcripts).select(
         "conv_id", "turn_idx", "kind", "extracted_text"

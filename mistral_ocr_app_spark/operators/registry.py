@@ -22,6 +22,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition after a narrow scan IF the source yields
+    fewer splits than the cluster has task slots (guide §2.5 input
+    skew). The driver testdata ships single-row-group parquet files —
+    documents/events/embeddings at sf1.0 are ONE scan task no matter
+    the split-size config, which serialized every heavy map stage
+    (media synth+decode 726 core-seconds on one core, measured). A
+    100 TB input has millions of splits, so this is a no-op there and
+    the extra exchange exists only in the regime where the alternative
+    is a serial stage. Round-robin repartition is retry-safe (Spark
+    sorts before repartitioning, SPARK-23207) and the shuffled bytes
+    are exactly the undersized input (MBs)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import CATALOG, QueryDef, load, register  # noqa: F401 (re-export)
+from .registry import CATALOG, QueryDef, load, register, spread_scan  # noqa: F401 (re-export)
 
 
 # =====================================================================
@@ -137,7 +137,9 @@ def s9_json_projection(spark, sf_dir):
     "engine makes the format real.",
 )
 def f1_extension_allowlist(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # the docx build->parse roundtrip is the map stage: spread the
+    # one-split documents scan (guide §2.5)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     fname = F.concat(
         F.lit("doc_"),
         F.col("doc_id").cast("string"),
@@ -485,6 +487,10 @@ def a8_rollup_totals(spark, sf_dir):
     "(app.py:142-177, rate :176)",
 )
 def w1_ordered_concat_per_group(spark, sf_dir):
+    # NOT spread_scan: collect_list partials don't shrink rows, so a
+    # pre-spread is a pure extra shuffle of the full table (measured
+    # 1.1s -> 2.0s at sf1.0); the groupBy exchange parallelizes the
+    # heavy reduce side on its own
     ev = load(spark, sf_dir, "events")
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
@@ -907,7 +913,8 @@ def y4_bbox_arithmetic(spark, sf_dir):
     "Y8: JSON path extraction (settings profile_data; events.props)",
 )
 def y8_json_extract(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    # per-row JSON parse over 1M events in ONE scan split: spread it
+    ev = spread_scan(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.max(k).alias("max_k")

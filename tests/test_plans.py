@@ -92,17 +92,24 @@ def test_whole_stage_codegen_in_scalar_queries(spark):
 
 
 def test_lsh_self_join_is_sort_merge_not_broadcast(spark):
-    """d4's bands⋈bands pair self-joins must stay sort-merge joins: under
-    small local stats Catalyst would broadcast the UNBOUNDED bands
+    """d4's band⋈band pair self-joins must stay sort-merge joins: under
+    small local stats Catalyst would broadcast the UNBOUNDED band-row
     relation — a plan shape that cannot exist at 10^12 scale — and
-    re-evaluate the minhash subtree on both sides. The only broadcasts
-    allowed are the LeftSemi/LeftAnti heavy-bucket splits on the
-    size-bounded heavy-key relation (grid salting)."""
+    re-evaluate the minhash subtree on both sides. Broadcasts are
+    allowed only for the LeftSemi/LeftAnti heavy-bucket splits on the
+    size-bounded heavy-key relation (grid salting) and for the
+    STATS-DRIVEN inner attach joins of the round-7 grouped expansion
+    (chunk metadata / member-chunk relations, keyed on gid/chunk — no
+    hint forces those, so at scale Catalyst degrades them to shuffle
+    joins on the same keys with an unchanged pair set)."""
     plan = _plan(Q["d4_minhash_lsh_candidates"](spark, SF_DIR))
     assert "SortMergeJoin" in plan
     for line in plan.splitlines():
-        if "BroadcastHashJoin" in line:
-            assert "LeftSemi" in line or "LeftAnti" in line, line
+        if "BroadcastHashJoin" in line and "LeftSemi" not in line \
+                and "LeftAnti" not in line:
+            # inner broadcasts may only key on the expansion attach
+            # columns, never on the pair-join's (band, bucket)
+            assert "band" not in line and "bucket" not in line, line
     # neither pair join (light plain, heavy lattice) fell back to broadcast
     assert plan.count("SortMergeJoin") == 2
 
