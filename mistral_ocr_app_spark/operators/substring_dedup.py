@@ -112,6 +112,16 @@ def _window_occurrences(docs: DataFrame, width: int, id_col: str, text_col: str)
                 n = len(toks)
                 if n < width:
                     continue
+                if n > MAX_POS:
+                    # the canonical-occurrence key packs doc_id*MAX_POS+pos
+                    # into one int64; a longer document would silently
+                    # collide keys ACROSS documents and corrupt canonical
+                    # selection — fail loudly instead (ADVICE r6)
+                    raise ValueError(
+                        f"document {d} has {n} tokens > MAX_POS={MAX_POS}; "
+                        "substring dedup's packed ordering key cannot "
+                        "represent it — chunk the document first"
+                    )
                 hs = np.fromiter((th(x) for x in toks), dtype=np.int64, count=n)
                 m = n - width + 1
                 acc1 = np.zeros(m, dtype=np.int64)

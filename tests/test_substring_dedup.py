@@ -126,3 +126,27 @@ def test_strip_keeps_schema_and_rowcount(spark):
     out = strip_duplicate_windows(docs, width=10)
     assert out.count() == docs.count()
     assert set(docs.columns) | {"cleaned_text"} == set(out.columns)
+
+
+def test_window_occurrences_rejects_overlong_document(spark):
+    """The packed canonical key (doc_id*MAX_POS + pos) cannot represent
+    documents over MAX_POS tokens — the stage must fail loudly instead
+    of silently colliding keys across documents (r6 advice)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from mistral_ocr_app_spark.operators.substring_dedup import (
+        MAX_POS,
+        _window_occurrences,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k")], "doc_id long, text string"
+    )
+    assert _window_occurrences(ok, 10, "doc_id", "text").count() == 2
+
+    # overlong text: MAX_POS+1 single-char tokens
+    long_txt = "x " * MAX_POS + "x"
+    bad = spark.createDataFrame([(2, long_txt)], "doc_id long, text string")
+    with pytest.raises(PythonException, match="MAX_POS"):
+        _window_occurrences(bad, 10, "doc_id", "text").count()
