@@ -925,9 +925,10 @@ def d4_minhash_lsh_candidates(spark, sf_dir):
     # signature-grouped generator — identical pair set (equality-pinned
     # vs the plain path and the oracle), but group-contracted join +
     # first-collision-band filter instead of a billion-row distinct.
-    # md5-per-token minhash is the map-heavy stage: spread the
-    # one-split scan so signature computation uses the whole cluster
-    docs = spread_scan(load(spark, sf_dir, "documents"))
+    # spread the one-split scan so minhash computation uses the
+    # whole cluster — but only above 10k docs: the sig map is light, so
+    # at sf0.1 (5k docs) the exchange+stage overhead cost 1.5 s (measured)
+    docs = spread_scan(load(spark, sf_dir, "documents"), min_rows=10_000)
     return grouped_candidate_pairs(
         minhash_signatures(docs), salt_threshold=64, salt_grid=8
     )
@@ -1086,7 +1087,10 @@ def _cosine_expr(e1, e2):
     "brute-force cosine top-k ANN baseline (F.zip_with/aggregate dot product)",
 )
 def e1_cosine_topk(spark, sf_dir):
-    emb = spread_scan(load(spark, sf_dir, "embeddings"))
+    # light map (one interpreted cosine per row): spread only above the
+    # break-even row count (measured: sf1.0 0.42->0.20, sf0.1 0.26->0.41
+    # with an unconditional spread)
+    emb = spread_scan(load(spark, sf_dir, "embeddings"), min_rows=10_000)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = _cosine_expr(F.col("embedding"), F.col("qv"))
     return (

@@ -2,15 +2,15 @@
 
 Replaces the reference's per-document synchronous worker
 (/root/reference/app.py:697-735 process_ocr_document and its callees)
-with Arrow-batched pandas UDFs over the transcripts table. Extraction is
+with Arrow-batched stages over the transcripts table. Extraction is
 per-turn embarrassingly parallel: **no shuffle is needed or introduced**
-— ``mapInPandas`` runs on the scan partitions as-is, and only the
+— ``mapInArrow`` runs on the scan partitions as-is, and only the
 optional per-conversation assembly (operators/assemble.py) shuffles.
 
 Zero per-row Python at the Spark level (no ``F.udf`` anywhere): batches
-cross the JVM↔Python boundary as Arrow record batches
-(spark.sql.execution.arrow.* — see session.py), and the per-kind parsers
-(functions/*) run on pandas Series inside the worker.
+cross the JVM↔Python boundary as Arrow record batches, pass-through
+columns are re-emitted zero-copy from the input batch's own buffers
+(round 7), and the per-kind parsers (functions/*) run inside the worker.
 """
 
 from __future__ import annotations
