@@ -224,7 +224,7 @@ def assemble_auto(
     NOTE: ``extracted`` is traversed by both branches and the count —
     call this on a materialized relation (the extract job's parquet
     output, as ``jobs/extract_job.py`` does), not directly on the
-    mapInPandas extraction, or the extractor runs three times.
+    mapInArrow extraction, or the extractor runs three times.
 
     Output is identical to ``assemble_conversations`` for every
     conversation (property-tested in test_assemble_chunked.py)."""
